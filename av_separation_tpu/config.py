@@ -1,0 +1,249 @@
+"""Configuration dataclasses for the TPU-native AV separation framework.
+
+The reference (danieleschmidt/AV-Separation-Transformer) has no config system at
+all — every hyperparameter is a Python keyword default scattered across
+`model.py:240-248`, `dataset.py:33-45`, `losses.py:52` and hard-coded constants in
+`demo.py:83,126-136,148-156,169`.  Here all of those knobs are centralised into
+frozen dataclasses, plus the TPU-specific knobs the reference has no concept of
+(mesh shape, kernel implementation selection, compute dtype).
+
+The five named configs required by BASELINE.json are provided as constructors at
+the bottom of this file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters of AVSeparationTransformer.
+
+    Defaults mirror the reference defaults (reference model.py:240-248).
+    """
+
+    freq_bins: int = 257
+    d_model: int = 256
+    nhead: int = 4
+    num_encoder_layers: int = 2
+    num_fusion_layers: int = 2
+    num_speakers: int = 2
+    dropout: float = 0.1
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    # Kernel implementation selectors: 'xla' uses the pure-XLA lowering, 'pallas'
+    # swaps in the fused Pallas TPU kernel (each gated on allclose vs 'xla').
+    attn_impl: str = "xla"          # self/cross attention: 'xla' | 'pallas'
+    decoder_impl: str = "xla"       # fused mask MLP+sigmoid+apply: 'xla' | 'pallas'
+    # Compute dtype for matmuls/activations; params stay float32.
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Remat (activation checkpointing) for the transformer stacks.
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.nhead
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Synthetic AV dataset parameters (reference dataset.py:33-45 defaults)."""
+
+    num_samples: int = 1000
+    sample_rate: int = 8000
+    duration: float = 1.0
+    n_fft: int = 512
+    hop_length: int = 128
+    num_frames: int = 25
+    frame_h: int = 32
+    frame_w: int = 32
+    speaker_freqs: Tuple[float, ...] = (220.0, 440.0)
+    seed: int = 42
+
+    @property
+    def num_speakers(self) -> int:
+        return len(self.speaker_freqs)
+
+    @property
+    def num_samples_audio(self) -> int:
+        return int(self.sample_rate * self.duration)
+
+    @property
+    def freq_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def num_stft_frames(self) -> int:
+        # T = 1 + floor(N / hop)  (reference dataset.py:65)
+        return 1 + self.num_samples_audio // self.hop_length
+
+    @property
+    def total_lip_frames(self) -> int:
+        # All speakers' lip streams concatenated along the frame axis
+        # (reference dataset.py:107-114).
+        return self.num_speakers * self.num_frames
+
+    def replace(self, **kw) -> "DataConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """PIT SI-SNR + L1 loss (reference losses.py:45-73)."""
+
+    l1_weight: float = 0.5
+    # 'global': one best permutation per batch (the reference quirk,
+    # losses.py:64-71).  'per_sample': standard per-utterance PIT.
+    pit_mode: str = "global"
+    eps: float = 1e-8
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for SPMD execution.  Axes:
+    - 'data'  : utterance batches (DP); gradients psum over this axis.
+    - 'model' : tensor-parallel shard of d_model/FFN weight matrices (TP).
+    """
+
+    data: int = 1
+    model: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop parameters (reference demo.py:83-113 constants)."""
+
+    batch_size: int = 8
+    steps: int = 100
+    learning_rate: float = 3e-4
+    grad_clip_norm: float = 1.0
+    seed: int = 0
+    log_every: int = 20
+    # Checkpointing (no reference counterpart — reference never saves).
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # 0 = disabled
+    # Data pipeline: 'host' generates batches with the bit-matching NumPy
+    # generator; 'device' generates the same distribution fully on-device.
+    data_pipeline: str = "host"
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "demo"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+# ---------------------------------------------------------------------------
+# The five named configs from BASELINE.json
+# ---------------------------------------------------------------------------
+
+def demo_config() -> ExperimentConfig:
+    """#1 Synthetic 2-speaker demo.py parity config (reference demo.py:126-156).
+
+    Note the reference demo builds the model with d_model=128 (demo.py:151)
+    even though the model default is 256.
+    """
+    return ExperimentConfig(
+        name="demo",
+        model=ModelConfig(freq_bins=257, d_model=128, nhead=4,
+                          num_encoder_layers=2, num_fusion_layers=2,
+                          num_speakers=2, dropout=0.1),
+        data=DataConfig(num_samples=500, sample_rate=8000, duration=1.0,
+                        n_fft=512, hop_length=128, num_frames=25,
+                        frame_h=32, frame_w=32, speaker_freqs=(220.0, 440.0)),
+        train=TrainConfig(batch_size=8, steps=100, learning_rate=3e-4),
+    )
+
+
+def scaled_config() -> ExperimentConfig:
+    """#2 2-speaker scaled-up: d_model=512, 6 enc + 4 fusion, 4s @ 16 kHz."""
+    return ExperimentConfig(
+        name="scaled",
+        model=ModelConfig(freq_bins=257, d_model=512, nhead=8,
+                          num_encoder_layers=6, num_fusion_layers=4,
+                          num_speakers=2, dropout=0.1),
+        data=DataConfig(num_samples=1000, sample_rate=16000, duration=4.0,
+                        n_fft=512, hop_length=128, num_frames=100,
+                        frame_h=32, frame_w=32, speaker_freqs=(220.0, 440.0)),
+        train=TrainConfig(batch_size=8, steps=100, learning_rate=3e-4),
+    )
+
+
+def three_speaker_config() -> ExperimentConfig:
+    """#3 3-speaker separation; PIT searches 3! = 6 permutations on-device."""
+    return ExperimentConfig(
+        name="three_speaker",
+        model=ModelConfig(freq_bins=257, d_model=512, nhead=8,
+                          num_encoder_layers=6, num_fusion_layers=4,
+                          num_speakers=3, dropout=0.1),
+        data=DataConfig(num_samples=1000, sample_rate=8000, duration=1.0,
+                        n_fft=512, hop_length=128, num_frames=25,
+                        frame_h=32, frame_w=32,
+                        speaker_freqs=(220.0, 330.0, 440.0)),
+        train=TrainConfig(batch_size=8, steps=100, learning_rate=3e-4),
+    )
+
+
+def lrs2_config() -> ExperimentConfig:
+    """#4 LRS2-style: 25 fps 96x96 lip crops, 16 kHz audio, n_fft=512.
+
+    Stresses the visual-to-audio interpolation path (N=75 video frames ->
+    T=376 audio frames over 3 s)."""
+    return ExperimentConfig(
+        name="lrs2",
+        model=ModelConfig(freq_bins=257, d_model=512, nhead=8,
+                          num_encoder_layers=6, num_fusion_layers=4,
+                          num_speakers=2, dropout=0.1),
+        data=DataConfig(num_samples=1000, sample_rate=16000, duration=3.0,
+                        n_fft=512, hop_length=128, num_frames=75,
+                        frame_h=96, frame_w=96, speaker_freqs=(220.0, 440.0)),
+        train=TrainConfig(batch_size=8, steps=100, learning_rate=3e-4),
+    )
+
+
+def multihost_config() -> ExperimentConfig:
+    """#5 Large multi-host: d_model=1024, 12 enc + 8 fusion, 4 speakers,
+    model-sharded fusion across chips, DP over hosts."""
+    return ExperimentConfig(
+        name="multihost",
+        model=ModelConfig(freq_bins=257, d_model=1024, nhead=16,
+                          num_encoder_layers=12, num_fusion_layers=8,
+                          num_speakers=4, dropout=0.1, remat=True),
+        data=DataConfig(num_samples=10000, sample_rate=16000, duration=4.0,
+                        n_fft=512, hop_length=128, num_frames=100,
+                        frame_h=32, frame_w=32,
+                        speaker_freqs=(220.0, 330.0, 440.0, 550.0)),
+        mesh=MeshConfig(data=2, model=4),
+        train=TrainConfig(batch_size=16, steps=100, learning_rate=3e-4),
+    )
+
+
+NAMED_CONFIGS = {
+    "demo": demo_config,
+    "scaled": scaled_config,
+    "three_speaker": three_speaker_config,
+    "lrs2": lrs2_config,
+    "multihost": multihost_config,
+}
+
+
+def get_config(name: str) -> ExperimentConfig:
+    try:
+        return NAMED_CONFIGS[name]()
+    except KeyError:
+        raise KeyError(
+            f"unknown config {name!r}; available: {sorted(NAMED_CONFIGS)}")

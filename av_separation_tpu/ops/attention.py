@@ -1,0 +1,71 @@
+"""Multi-head scaled-dot-product attention — XLA path + Pallas dispatch.
+
+The reference uses `nn.MultiheadAttention` for both the transformer encoders
+and the cross-modal fusion (reference model.py:48-52, 155, 166-170).  Here
+attention is a pure function over already-projected Q/K/V; the QKV/out
+projections live in the model layer so the same op serves self-attention
+(audio/visual encoders) and cross-attention (audio-query over visual-KV).
+
+Two implementations, selected by `impl`:
+  - 'xla': einsum + softmax.  XLA fuses the softmax chain; for the short
+    sequences of this task (T<=512) this is at or near roofline already.
+  - 'pallas': blockwise flash-attention kernel (ops/pallas/attention.py) with
+    online softmax — O(T) memory, for long-utterance configs.  Gated on
+    allclose vs the 'xla' path in tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def split_heads(x: jnp.ndarray, nhead: int) -> jnp.ndarray:
+    """(B, T, d) -> (B, H, T, dh)"""
+    b, t, d = x.shape
+    return x.reshape(b, t, nhead, d // nhead).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, dh) -> (B, T, d)"""
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  dropout_rate: float = 0.0,
+                  dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """(B, H, Tq, dh) x (B, H, Tk, dh) -> (B, H, Tq, dh).
+
+    Softmax statistics accumulate in float32 regardless of compute dtype.
+    Dropout is applied to the attention probabilities, matching torch MHA
+    training semantics (the probability row no longer sums to 1).
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         nhead: int, *, impl: str = "xla",
+                         dropout_rate: float = 0.0,
+                         dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Projected-QKV multi-head attention on (B, T, d) tensors."""
+    qh, kh, vh = (split_heads(x, nhead) for x in (q, k, v))
+    if impl == "pallas" and dropout_rate == 0.0:
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        out = flash_attention(qh, kh, vh)
+    else:
+        out = attention_xla(qh, kh, vh, dropout_rate, dropout_rng)
+    return merge_heads(out)

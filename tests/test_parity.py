@@ -1,0 +1,150 @@
+"""Numerical parity gates against committed reference goldens.
+
+The goldens in tests/golden/ were produced by tools/make_golden.py running the
+reference PyTorch implementation once (demo config, eval mode, seed 0); tests
+here never import torch or the reference.  This is the allclose gate from
+BASELINE.json: with reference weights transplanted, eval-mode masks and
+separated spectrograms must match the reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+
+from av_separation_tpu.config import ModelConfig
+from av_separation_tpu.models.model import AVSeparationTransformer
+from av_separation_tpu.utils.transplant import (
+    from_reference_state_dict,
+    load_golden_state_dict,
+)
+
+DEMO_CFG = ModelConfig(freq_bins=257, d_model=128, nhead=4,
+                       num_encoder_layers=2, num_fusion_layers=2,
+                       num_speakers=2, dropout=0.1)
+
+
+@pytest.fixture(scope="module")
+def transplanted(golden_model):
+    import os
+    sd = load_golden_state_dict(
+        os.path.join(os.path.dirname(__file__), "golden", "golden_model.npz"))
+    params, stats = from_reference_state_dict(sd)
+    params = jtu.tree_map(jnp.asarray, params)
+    stats = jtu.tree_map(jnp.asarray, stats)
+    return {"params": params, "batch_stats": stats}
+
+
+@pytest.fixture(scope="module")
+def model():
+    return AVSeparationTransformer(DEMO_CFG)
+
+
+class TestWeightTransplant:
+    def test_structure_matches_init(self, transplanted, golden_model):
+        model = AVSeparationTransformer(DEMO_CFG)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(golden_model["mixed"][:1]),
+            jnp.asarray(golden_model["frames"][:1]))
+        init_shapes = jtu.tree_map(jnp.shape, variables["params"])
+        got_shapes = jtu.tree_map(jnp.shape, transplanted["params"])
+        assert init_shapes == got_shapes
+
+    def test_param_count_matches_reference(self, transplanted):
+        n = sum(x.size for x in jtu.tree_leaves(transplanted["params"]))
+        assert n == 1_612_738  # reference README.md:60, BASELINE.md
+
+
+class TestForwardParity:
+    """End-to-end and per-module eval-mode outputs vs the reference."""
+
+    def _inputs(self, golden_model):
+        return (jnp.asarray(golden_model["mixed"]),
+                jnp.asarray(golden_model["frames"]))
+
+    def test_masks_allclose(self, model, transplanted, golden_model):
+        mixed, frames = self._inputs(golden_model)
+        separated, masks = model.apply(transplanted, mixed, frames,
+                                       deterministic=True)
+        np.testing.assert_allclose(np.asarray(masks), golden_model["masks"],
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_separated_allclose(self, model, transplanted, golden_model):
+        mixed, frames = self._inputs(golden_model)
+        separated, _ = model.apply(transplanted, mixed, frames,
+                                   deterministic=True)
+        np.testing.assert_allclose(np.asarray(separated),
+                                   golden_model["separated"],
+                                   atol=2e-3, rtol=1e-4)
+
+    def test_audio_encoder_parity(self, model, transplanted, golden_model):
+        mixed, _ = self._inputs(golden_model)
+        out = model.apply(transplanted, mixed, deterministic=True,
+                          method=lambda m, x, deterministic:
+                          m.audio_encoder(x, deterministic=deterministic))
+        np.testing.assert_allclose(np.asarray(out),
+                                   golden_model["audio_emb"],
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_visual_encoder_parity(self, model, transplanted, golden_model):
+        _, frames = self._inputs(golden_model)
+        t = golden_model["mixed"].shape[-1]
+        out = model.apply(transplanted, frames, deterministic=True,
+                          method=lambda m, x, deterministic:
+                          m.visual_encoder(x, t, deterministic=deterministic))
+        np.testing.assert_allclose(np.asarray(out),
+                                   golden_model["visual_emb"],
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_fusion_parity(self, model, transplanted, golden_model):
+        audio = jnp.asarray(golden_model["audio_emb"])
+        visual = jnp.asarray(golden_model["visual_emb"])
+        out = model.apply(transplanted, audio, visual, deterministic=True,
+                          method=lambda m, a, v, deterministic:
+                          m.fusion(a, v, deterministic=deterministic))
+        np.testing.assert_allclose(np.asarray(out), golden_model["fused"],
+                                   atol=2e-4, rtol=1e-4)
+
+
+class TestDatasetParity:
+    def test_samples_bitmatch_reference(self, golden_dataset):
+        from av_separation_tpu.config import DataConfig
+        from av_separation_tpu.data.synthetic import SyntheticAVDataset
+        ds = SyntheticAVDataset(DataConfig(num_samples=500))
+        for i in (0, 1, 7, 123):
+            s = ds[i]
+            for key in ("mixed_spec", "lip_frames", "clean_specs"):
+                assert np.array_equal(s[key], golden_dataset[f"{key}_{i}"]), \
+                    f"sample {i} field {key} not bit-identical"
+
+
+class TestLossParity:
+    def test_si_snr_matches_reference(self, golden_loss):
+        from av_separation_tpu.losses import si_snr
+        a = jnp.asarray(golden_loss["rand_a"])
+        b = jnp.asarray(golden_loss["rand_b"])
+        np.testing.assert_allclose(float(si_snr(a, b)),
+                                   float(golden_loss["rand_si_snr"]),
+                                   atol=1e-4)
+
+    def test_separation_loss_matches_reference(self, golden_loss,
+                                               golden_model):
+        from av_separation_tpu.losses import separation_loss
+        sep = jnp.asarray(golden_model["separated"])
+        tgt = jnp.asarray(golden_model["targets"])
+        got = float(separation_loss(sep, tgt, l1_weight=0.5,
+                                    pit_mode="global"))
+        np.testing.assert_allclose(got, float(golden_loss["loss"]),
+                                   atol=1e-3)
+
+    def test_loss_permutation_invariant(self, golden_loss, golden_model):
+        from av_separation_tpu.losses import separation_loss
+        sep = jnp.asarray(golden_model["separated"])
+        tgt = jnp.asarray(golden_model["targets"])
+        a = float(separation_loss(sep, tgt))
+        b = float(separation_loss(sep[:, ::-1], tgt))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        np.testing.assert_allclose(
+            b, float(golden_loss["loss_swapped"]), atol=1e-3)
