@@ -1,0 +1,101 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Metric: audio-seconds of mixture processed per second per chip by the jitted
+fwd+bwd+update training step (demo config: d_model=128, B=8, 1 s utterances
+@ 8 kHz -> T=63, F=257), on the default JAX backend (the real TPU chip under
+the driver; CPU when forced).
+
+vs_baseline compares against the reference PyTorch implementation's training
+throughput measured on this host's CPU (the only hardware the pure-Python
+reference supports here): 36.08 audio-seconds/s (torch 2.13.0+cpu, demo
+config, batch=8, steady-state over 20 steps; see BASELINE.md — the reference
+publishes no throughput numbers of its own).
+
+Usage: python bench.py [--config demo] [--steps 50] [--batch 8] [--impl xla]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+# Reference torch CPU training throughput on this host (audio-seconds/s);
+# measured 2026-08-17, see module docstring.
+REFERENCE_AUDIO_S_PER_S = 36.08
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="demo")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--impl", default=None,
+                    help="kernel impl override: xla | pallas")
+    ap.add_argument("--dtype", default=None,
+                    help="compute dtype override: float32 | bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from av_separation_tpu import get_config
+    from av_separation_tpu.train import create_train_state, make_train_step
+
+    cfg = get_config(args.config)
+    model_kw = {}
+    if args.impl:
+        model_kw.update(attn_impl=args.impl, decoder_impl=args.impl)
+    if args.dtype:
+        model_kw.update(compute_dtype=args.dtype)
+    if model_kw:
+        cfg = dataclasses.replace(cfg, model=cfg.model.replace(**model_kw))
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch))
+
+    d = cfg.data
+    rng = np.random.default_rng(0)
+    b = args.batch
+    batch = {
+        "mixed_spec": jnp.asarray(rng.normal(
+            size=(b, d.freq_bins, d.num_stft_frames)).astype(np.float32)),
+        "lip_frames": jnp.asarray(rng.normal(
+            size=(b, d.total_lip_frames, d.frame_h, d.frame_w))
+            .astype(np.float32)),
+        "clean_specs": jnp.asarray(rng.normal(
+            size=(b, d.num_speakers, d.freq_bins, d.num_stft_frames))
+            .astype(np.float32)),
+    }
+
+    model, state = create_train_state(cfg)
+    step_fn = make_train_step(model, cfg)
+
+    # Warmup: compile + 2 steps.
+    for _ in range(3):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    audio_seconds = args.steps * b * d.duration
+    value = audio_seconds / dt
+    n_chips = jax.device_count()
+    result = {
+        "metric": "audio-seconds/s/chip (fwd+bwd train step, demo config)",
+        "value": round(value / n_chips, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / n_chips / REFERENCE_AUDIO_S_PER_S, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend — the distributed
+test tier the reference entirely lacks (SURVEY.md §2.4, §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from av_separation_tpu.config import (
+    DataConfig, ExperimentConfig, MeshConfig, ModelConfig, TrainConfig)
+from av_separation_tpu.parallel.mesh import (
+    make_mesh, param_shardings, spec_for_path)
+from av_separation_tpu.train import create_train_state, make_train_step
+
+
+TINY = ExperimentConfig(
+    name="tiny",
+    model=ModelConfig(freq_bins=65, d_model=64, nhead=4,
+                      num_encoder_layers=1, num_fusion_layers=1,
+                      num_speakers=2, dropout=0.0),
+    data=DataConfig(num_samples=8, sample_rate=2048, duration=1.0,
+                    n_fft=128, hop_length=128, num_frames=5,
+                    frame_h=16, frame_w=16),
+    train=TrainConfig(batch_size=8, steps=1),
+)
+
+
+def tiny_batch(b=8):
+    d = TINY.data
+    rng = np.random.default_rng(0)
+    return {
+        "mixed_spec": jnp.asarray(rng.normal(
+            size=(b, d.freq_bins, d.num_stft_frames)).astype(np.float32)),
+        "lip_frames": jnp.asarray(rng.normal(
+            size=(b, d.total_lip_frames, d.frame_h, d.frame_w))
+            .astype(np.float32)),
+        "clean_specs": jnp.asarray(rng.normal(
+            size=(b, 2, d.freq_bins, d.num_stft_frames)).astype(np.float32)),
+    }
+
+
+class TestPartitionRules:
+    def test_attention_rules(self):
+        assert spec_for_path(
+            "fusion/layer_0/cross_attn/q_proj/kernel") == P(None, "model")
+        assert spec_for_path(
+            "fusion/layer_0/cross_attn/out_proj/kernel") == P("model", None)
+
+    def test_ffn_rules(self):
+        assert spec_for_path(
+            "audio_encoder/transformer/layer_1/linear1/kernel"
+        ) == P(None, "model")
+        assert spec_for_path("decoder/fc2/kernel") == P("model", None)
+
+    def test_norms_replicated(self):
+        assert spec_for_path(
+            "fusion/layer_0/norm1/scale") == P()
+        assert spec_for_path("visual_encoder/bn1/scale") == P()
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+class TestMeshExecution:
+    def test_dp_train_step(self):
+        import dataclasses
+        cfg = dataclasses.replace(TINY, mesh=MeshConfig(data=8, model=1))
+        mesh = make_mesh(cfg.mesh)
+        model, state = create_train_state(cfg, mesh)
+        step = make_train_step(model, cfg, mesh)
+        with mesh:
+            state, metrics = step(state, tiny_batch())
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_tp_train_step(self):
+        import dataclasses
+        cfg = dataclasses.replace(TINY, mesh=MeshConfig(data=2, model=4))
+        mesh = make_mesh(cfg.mesh)
+        model, state = create_train_state(cfg, mesh)
+        step = make_train_step(model, cfg, mesh)
+        with mesh:
+            state, metrics = step(state, tiny_batch())
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_params_actually_sharded(self):
+        import dataclasses
+        cfg = dataclasses.replace(TINY, mesh=MeshConfig(data=2, model=4))
+        mesh = make_mesh(cfg.mesh)
+        _, state = create_train_state(cfg, mesh)
+        k = state.params["fusion"]["layer_0"]["cross_attn"]["q_proj"]["kernel"]
+        assert k.sharding.spec == P(None, "model")
+        # Each device holds 1/4 of the columns.
+        shard_shape = k.sharding.shard_shape(k.shape)
+        assert shard_shape == (k.shape[0], k.shape[1] // 4)
+
+    def test_sharded_matches_single_device(self):
+        """DP-sharded loss == single-device loss (same data, same init)."""
+        import dataclasses
+        cfg1 = TINY
+        model1, state1 = create_train_state(cfg1)
+        step1 = make_train_step(model1, cfg1)
+
+        cfg8 = dataclasses.replace(TINY, mesh=MeshConfig(data=8, model=1))
+        mesh = make_mesh(cfg8.mesh)
+        model8, state8 = create_train_state(cfg8, mesh)
+        step8 = make_train_step(model8, cfg8, mesh)
+
+        batch = tiny_batch()
+        _, m1 = step1(state1, batch)
+        with mesh:
+            _, m8 = step8(state8, batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   atol=1e-4, rtol=1e-5)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        sep, masks = out
+        assert bool(jnp.isfinite(sep).all())
+
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
