@@ -1,0 +1,225 @@
+"""Command-line driver: train / evaluate / benchmark.
+
+The reference has no CLI at all — its only entry point is `python demo.py`
+(SURVEY.md §3.1).  This driver exposes the five named BASELINE configs plus
+every TPU-native knob (mesh shape, kernel impls, compute dtype, data
+pipeline, checkpointing).
+
+    avsep train --config demo --steps 100
+    avsep train --config multihost --mesh-data 2 --mesh-model 4
+    avsep eval  --config demo --checkpoint-dir ckpts
+    avsep bench --config scaled --impl pallas --dtype bfloat16
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default="demo",
+                   help="named config: demo|scaled|three_speaker|lrs2|multihost")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--mesh-data", type=int, default=None)
+    p.add_argument("--mesh-model", type=int, default=None)
+    p.add_argument("--impl", choices=("xla", "pallas"), default=None,
+                   help="kernel implementation for attention+decoder")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"), default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--pit", choices=("global", "per_sample"), default=None)
+    p.add_argument("--data", choices=("host", "device", "native"),
+                   default=None,
+                   help="batch pipeline: host NumPy generator, on-device "
+                        "JAX generator, or the native C++ engine")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the training loop")
+    p.add_argument("--seed", type=int, default=None)
+
+
+def _build_config(args):
+    from av_separation_tpu.config import get_config
+
+    cfg = get_config(args.config)
+    model_kw = {}
+    if args.impl:
+        model_kw.update(attn_impl=args.impl, decoder_impl=args.impl)
+    if args.dtype:
+        model_kw.update(compute_dtype=args.dtype)
+    if model_kw:
+        cfg = dataclasses.replace(cfg, model=cfg.model.replace(**model_kw))
+
+    train_kw = {}
+    for field, attr in (("batch_size", "batch"), ("steps", "steps"),
+                        ("checkpoint_dir", "checkpoint_dir"),
+                        ("checkpoint_every", "checkpoint_every"),
+                        ("data_pipeline", "data"), ("seed", "seed")):
+        v = getattr(args, attr)
+        if v is not None:
+            train_kw[field] = v
+    if train_kw:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **train_kw))
+
+    if args.pit:
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, pit_mode=args.pit))
+
+    if args.mesh_data or args.mesh_model:
+        from av_separation_tpu.config import MeshConfig
+        cfg = dataclasses.replace(
+            cfg, mesh=MeshConfig(data=args.mesh_data or 1,
+                                 model=args.mesh_model or 1))
+    return cfg
+
+
+def _force_cpu_if(args) -> None:
+    if args.cpu:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _mesh_or_none(cfg):
+    from av_separation_tpu.parallel.mesh import make_mesh
+    if cfg.mesh.num_devices > 1:
+        return make_mesh(cfg.mesh)
+    return None
+
+
+def _batches(cfg):
+    if cfg.train.data_pipeline == "device":
+        from av_separation_tpu.data.device_synthetic import (
+            device_batch_iterator)
+        return device_batch_iterator(cfg.data, cfg.train.batch_size,
+                                     seed=cfg.train.seed)
+    if cfg.train.data_pipeline == "native":
+        from av_separation_tpu.data.native_loader import NativeBatchIterator
+        return NativeBatchIterator(cfg.data, cfg.train.batch_size,
+                                   seed=cfg.train.seed)
+    from av_separation_tpu.data.loader import batch_iterator
+    from av_separation_tpu.data.synthetic import SyntheticAVDataset
+    ds = SyntheticAVDataset(cfg.data)
+    return batch_iterator(ds, cfg.train.batch_size, seed=cfg.train.seed)
+
+
+def cmd_train(args) -> int:
+    _force_cpu_if(args)
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from av_separation_tpu.train import (
+        create_train_state, make_eval_step, make_train_step)
+    from av_separation_tpu.utils.profiling import (
+        Timer, step_metrics_line, trace)
+
+    cfg = _build_config(args)
+    mesh = _mesh_or_none(cfg)
+    print(f"config={cfg.name} backend={jax.default_backend()} "
+          f"devices={jax.device_count()} "
+          f"mesh={'%dx%d' % (cfg.mesh.data, cfg.mesh.model) if mesh else '1'}",
+          file=sys.stderr)
+
+    model, state = create_train_state(cfg, mesh)
+    start_step = 0
+    if cfg.train.checkpoint_dir:
+        from av_separation_tpu.utils.checkpoint import (
+            latest_step, restore_checkpoint)
+        state = restore_checkpoint(cfg.train.checkpoint_dir, state)
+        start_step = int(state.step)
+        if start_step:
+            print(f"resumed from step {start_step}", file=sys.stderr)
+
+    step_fn = make_train_step(model, cfg, mesh)
+    batches = _batches(cfg)
+    ctx = trace(args.profile_dir) if args.profile_dir \
+        else contextlib.nullcontext()
+    timer = Timer()
+    with ctx, (mesh or contextlib.nullcontext()):
+        for i in range(start_step, cfg.train.steps):
+            batch = next(batches)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step_fn(state, batch)
+            if cfg.train.log_every and (i + 1) % cfg.train.log_every == 0:
+                dt = timer.elapsed(metrics["loss"])
+                audio_s = ((i + 1 - start_step) * cfg.train.batch_size
+                           * cfg.data.duration)
+                print(step_metrics_line(
+                    i + 1, metrics,
+                    {"audio_s_per_s": round(audio_s / dt, 2)}))
+            if (cfg.train.checkpoint_dir and cfg.train.checkpoint_every
+                    and (i + 1) % cfg.train.checkpoint_every == 0):
+                from av_separation_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(cfg.train.checkpoint_dir, i + 1, state)
+
+    if cfg.train.checkpoint_dir:
+        from av_separation_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(cfg.train.checkpoint_dir, int(state.step), state,
+                        wait=True)
+        print(f"saved checkpoint at step {int(state.step)}", file=sys.stderr)
+    return 0
+
+
+def cmd_eval(args) -> int:
+    _force_cpu_if(args)
+    import jax.numpy as jnp
+
+    from av_separation_tpu.data.loader import eval_batch
+    from av_separation_tpu.data.synthetic import SyntheticAVDataset
+    from av_separation_tpu.train import create_train_state, make_eval_step
+
+    cfg = _build_config(args)
+    model, state = create_train_state(cfg)
+    if cfg.train.checkpoint_dir:
+        from av_separation_tpu.utils.checkpoint import restore_checkpoint
+        state = restore_checkpoint(cfg.train.checkpoint_dir, state)
+
+    ds = SyntheticAVDataset(cfg.data)
+    batch = {k: jnp.asarray(v) for k, v in eval_batch(ds, 20).items()}
+    eval_fn = make_eval_step(model)
+    m = eval_fn(state.params, state.batch_stats, batch)
+    out = {k: round(float(v), 4) for k, v in m.items()}
+    out["snr_improvement_db"] = round(
+        float(m["output_snr"]) - float(m["input_snr"]), 4)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    _force_cpu_if(args)
+    import subprocess
+    cmd = [sys.executable, "bench.py", "--config", args.config]
+    if args.steps:
+        cmd += ["--steps", str(args.steps)]
+    if args.batch:
+        cmd += ["--batch", str(args.batch)]
+    if args.impl:
+        cmd += ["--impl", args.impl]
+    if args.dtype:
+        cmd += ["--dtype", args.dtype]
+    return subprocess.call(cmd)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="avsep")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("train", cmd_train), ("eval", cmd_eval),
+                     ("bench", cmd_bench)):
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.set_defaults(fn=fn)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,98 @@
+"""Fully on-device synthetic AV batch generation.
+
+The reference generates every sample on the host in Python/NumPy
+(reference dataset.py:70-151), which caps training throughput at host CPU
+speed.  This module draws the same *distribution* (amplitudes U(0.3,1),
+per-speaker frequency jitter U(0.95,1.05), random phase, energy-driven lip
+patches with N(0,0.05) noise, reference-semantics STFT) entirely inside jit
+with `jax.random` — so a TPU training step can fuse data synthesis into the
+step program with zero host involvement (bit-exact parity with the host
+generator is impossible across RNGs and is provided by data/synthetic.py
+instead; distribution equality is tested in tests/test_dataset.py).
+
+The STFT runs through ops/stft.py (matmul-DFT on the MXU) or the fused
+Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av_separation_tpu.config import DataConfig
+from av_separation_tpu.ops.stft import stft_magnitude
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "batch_size",
+                                             "stft_impl"))
+def generate_batch(key: jax.Array, cfg: DataConfig, batch_size: int,
+                   stft_impl: str = "xla") -> Dict[str, jnp.ndarray]:
+    """One training batch, generated on-device.
+
+    Returns mixed_spec (B,F,T), lip_frames (B,S*nf,H,W),
+    clean_specs (B,S,F,T) — same contract as the host dataset.
+    """
+    s = cfg.num_speakers
+    n = cfg.num_samples_audio
+    nf = cfg.num_frames
+    k_amp, k_jit, k_phase, k_noise = jax.random.split(key, 4)
+
+    amps = jax.random.uniform(k_amp, (batch_size, s), minval=0.3, maxval=1.0)
+    jitter = jax.random.uniform(k_jit, (batch_size, s),
+                                minval=0.95, maxval=1.05)
+    phase = jax.random.uniform(k_phase, (batch_size, s),
+                               minval=0.0, maxval=2.0 * np.pi)
+    freqs = jnp.asarray(cfg.speaker_freqs)[None, :] * jitter  # (B, S)
+
+    t_axis = jnp.asarray(
+        np.linspace(0.0, cfg.duration, n, endpoint=False, dtype=np.float64)
+        .astype(np.float32))
+    # (B, S, N) sine "speech"
+    clean = (amps[..., None]
+             * jnp.sin(2.0 * np.pi * freqs[..., None] * t_axis
+                       + phase[..., None])).astype(jnp.float32)
+    mixed = jnp.sum(clean, axis=1)
+
+    if stft_impl == "pallas":
+        from av_separation_tpu.ops.pallas.stft import stft_magnitude_pallas
+        stft = lambda a: stft_magnitude_pallas(
+            a, cfg.n_fft, cfg.hop_length, cfg.num_stft_frames)
+    else:
+        stft = lambda a: stft_magnitude(
+            a, cfg.n_fft, cfg.hop_length, cfg.num_stft_frames)
+    mixed_spec = stft(mixed)
+    clean_specs = stft(clean)
+
+    # Lip frames: per-video-frame mean-square energy of each speaker.
+    step = n // nf
+    energy = jnp.mean(
+        jnp.square(clean[..., :nf * step]).reshape(batch_size, s, nf, step),
+        axis=-1)
+    brightness = jnp.minimum(1.0, energy * 20.0)  # (B, S, nf)
+
+    h0, h1 = cfg.frame_h // 4, 3 * cfg.frame_h // 4
+    w0, w1 = cfg.frame_w // 4, 3 * cfg.frame_w // 4
+    noise = 0.05 * jax.random.normal(
+        k_noise, (batch_size, s, nf, h1 - h0, w1 - w0))
+    patch = jnp.clip(brightness[..., None, None] + noise, 0.0, 1.0)
+
+    frames = jnp.zeros((batch_size, s, nf, cfg.frame_h, cfg.frame_w),
+                       jnp.float32)
+    frames = frames.at[..., h0:h1, w0:w1].set(patch.astype(jnp.float32))
+    lip_frames = frames.reshape(batch_size, s * nf, cfg.frame_h, cfg.frame_w)
+
+    return {"mixed_spec": mixed_spec, "lip_frames": lip_frames,
+            "clean_specs": clean_specs}
+
+
+def device_batch_iterator(cfg: DataConfig, batch_size: int, seed: int = 0,
+                          stft_impl: str = "xla"):
+    """Infinite iterator of on-device batches (one fresh key per step)."""
+    key = jax.random.PRNGKey(seed)
+    while True:
+        key, sub = jax.random.split(key)
+        yield generate_batch(sub, cfg, batch_size, stft_impl)

@@ -150,27 +150,64 @@ class CrossModalFusion(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, name="norm")(h)
 
 
+class _LinearParams(nn.Module):
+    """Raw kernel+bias parameter holder; lets the decoder share one set of
+    weights between the XLA lowering and the fused Pallas kernel."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_kernel_init,
+                            (self.in_features, self.out_features))
+        bias = self.param("bias", torch_bias_init(self.in_features),
+                          (self.out_features,))
+        return kernel, bias
+
+
 class SeparationDecoder(nn.Module):
     """Per-speaker soft mask head (reference model.py:180-220).
 
     (B, T, d) -> masks (B, S, F, T) via Linear(d->2d) + GELU + Linear(2d->F*S)
     + sigmoid.  With `decoder_impl='pallas'` the MLP+sigmoid+mask-apply chain
-    runs as one fused Pallas kernel (ops/pallas/decoder.py).
+    runs as one fused Pallas kernel (ops/pallas/decoder.py); the Pallas path
+    carries no inner dropout, so training with dropout falls back to XLA.
     """
 
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, fused: jnp.ndarray, *, deterministic: bool = True):
+    def __call__(self, fused: jnp.ndarray, *, deterministic: bool = True,
+                 mixed_spec: jnp.ndarray | None = None):
         cfg = self.cfg
         b, t, _ = fused.shape
-        h = dense(2 * cfg.d_model, cfg.d_model, "fc1")(fused)
+        w1, b1 = _LinearParams(cfg.d_model, 2 * cfg.d_model, name="fc1")()
+        w2, b2 = _LinearParams(2 * cfg.d_model,
+                               cfg.freq_bins * cfg.num_speakers,
+                               name="fc2")()
+
+        use_pallas = (cfg.decoder_impl == "pallas"
+                      and mixed_spec is not None
+                      and (deterministic or cfg.dropout == 0.0))
+        if use_pallas:
+            from av_separation_tpu.ops.pallas.decoder import (
+                fused_mask_decoder)
+            separated, masks = fused_mask_decoder(
+                fused, w1, b1, w2, b2, mixed_spec,
+                cfg.num_speakers, cfg.freq_bins)
+            return separated, masks
+
+        h = jnp.einsum("btd,dh->bth", fused, w1) + b1
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(cfg.dropout, name="drop")(h, deterministic=deterministic)
-        h = dense(cfg.freq_bins * cfg.num_speakers, 2 * cfg.d_model, "fc2")(h)
+        h = jnp.einsum("bth,ho->bto", h, w2) + b2
         masks = h.reshape(b, t, cfg.num_speakers, cfg.freq_bins)
         masks = masks.transpose(0, 2, 3, 1)  # (B, S, F, T)
-        return jax.nn.sigmoid(masks)
+        masks = jax.nn.sigmoid(masks)
+        if mixed_spec is None:
+            return masks
+        return self.separate(masks, mixed_spec), masks
 
     @staticmethod
     def separate(masks: jnp.ndarray, mixed_spec: jnp.ndarray) -> jnp.ndarray:
@@ -203,7 +240,7 @@ class AVSeparationTransformer(nn.Module):
         visual_emb = self.visual_encoder(lip_frames.astype(dtype), t,
                                          deterministic=deterministic)
         fused = self.fusion(audio_emb, visual_emb, deterministic=deterministic)
-        masks = self.decoder(fused, deterministic=deterministic)
-        masks = masks.astype(jnp.float32)
-        separated = SeparationDecoder.separate(masks, mixed_spec)
-        return separated, masks
+        separated, masks = self.decoder(
+            fused.astype(jnp.float32), deterministic=deterministic,
+            mixed_spec=mixed_spec)
+        return separated.astype(jnp.float32), masks.astype(jnp.float32)

@@ -1,0 +1,356 @@
+"""Blockwise flash attention Pallas TPU kernel (forward + backward).
+
+Replaces the dense-materialized attention the reference gets from torch MHA
+(reference model.py:48-52,166-170) with an online-softmax blockwise kernel:
+O(block_q x block_k) VMEM footprint instead of O(Tq x Tk) HBM, softmax
+statistics carried in f32 scratch across the key-block grid dimension.  Serves
+both the encoders' self-attention and the fusion stack's audio-query /
+visual-KV cross-attention (Tq != Tk is the normal case there).
+
+Grid layout: (B*H, Tq/block_q, Tk/block_k) with the key axis innermost
+("arbitrary" semantics — sequential on a TPU core), so the (m, l, acc)
+scratch carries across key blocks and the output block is finalized on the
+last key iteration.
+
+The backward pass recomputes probabilities blockwise (flash-style) and
+accumulates dQ/dK/dV in two kernels: dQ over the key grid, dK/dV over the
+query grid — each a pure matmul chain on the MXU.
+
+Head dims < 128 are zero-padded to the 128-lane width by the wrapper;
+padded key positions are masked to -inf before the softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
+    size = x.shape[axis]
+    target = _cdiv(size, mult) * mult
+    if target == size:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, target - size)
+    return jnp.pad(x, pads)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
+                m_scr, l_scr, acc_scr,
+                *, scale: float, tk: int, block_k: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    if tk % block_k != 0:
+        kidx = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(kidx < tk, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    v = v_ref[0].astype(jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        m_out_ref[0] = m_scr[:]
+        l_out_ref[0] = l_scr[:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale: float, block_q: int, block_k: int, true_tk: int):
+    out, _, _ = _flash_call(q, k, v, scale, block_q, block_k, true_tk)
+    return out
+
+
+def _flash_call(q, k, v, scale, block_q, block_k, true_tk):
+    """q: (BH, Tq, D) k/v: (BH, Tk, D) — all pre-padded to block/lane
+    multiples; `true_tk` masks the padded key tail."""
+    bh, tq, d = q.shape
+    tk = true_tk
+    nq = _cdiv(tq, block_q)
+    nk = k.shape[1] // block_k
+
+    grid = (bh, nq, nk)
+    out, m_out, l_out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, tk=tk, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq * block_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq * block_q, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq * block_q, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q, k, v)
+    return out, m_out, l_out
+
+
+def _out_stats_kernel(m_ref, l_ref, o_ref, do_ref, lse_ref, delta_ref):
+    """Per-row logsumexp and delta = sum(dO * O) for the backward pass."""
+    m = m_ref[0][:, :1]
+    l = l_ref[0][:, :1]
+    lse = m + jnp.log(l)
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+    o = o_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    delta = jnp.sum(o * do, axis=-1, keepdims=True)
+    delta_ref[0] = jnp.broadcast_to(delta, delta_ref.shape[1:])
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               acc_scr, *, scale: float, tk: int, block_k: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if tk % block_k != 0:
+        kidx = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(kidx < tk, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    acc_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr,
+                *, scale: float, tk: int, block_k: int):
+    i = pl.program_id(2)  # query-block index (innermost)
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if tk % block_k != 0:
+        j = pl.program_id(1)
+        kidx = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(kidx < tk, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (bq, bk)
+    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale  # (bq, bk)
+    dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, true_tk):
+    out, m_out, l_out = _flash_call(q, k, v, scale, block_q, block_k,
+                                    true_tk)
+    return out, (q, k, v, out, m_out, l_out)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, true_tk, res, g):
+    q, k, v, out, m_out, l_out = res
+    bh, tq, d = q.shape
+    tk = true_tk
+    nq = tq // block_q
+    nk = k.shape[1] // block_k
+    tq_pad = tq
+
+    out_p = out
+    g_p = g
+    q_p = q
+
+    # Stage 1: per-row lse and delta.
+    lse, delta = pl.pallas_call(
+        _out_stats_kernel,
+        grid=(bh, nq),
+        in_specs=[pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)] * 2 +
+                 [pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((bh, tq_pad, 128), jnp.float32)] * 2,
+    )(m_out, l_out, out_p, g_p)
+
+    # Stage 2: dQ (accumulate over key blocks).
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, tk=tk, block_k=block_k),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q_p, k, v, g_p, lse, delta)
+
+    # Stage 3: dK/dV (accumulate over query blocks, innermost).
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, tk=tk, block_k=block_k),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((bh, nk * block_k, d), k.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q_p, k, v, g_p, lse, delta)
+
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+    """(B, H, Tq, dh) x (B, H, Tk, dh) -> (B, H, Tq, dh), flash-style.
+
+    Handles dh < 128 by zero-padding lanes (softmax scale uses the true dh)
+    and Tq/Tk not divisible by the block sizes by padding + masking.
+    """
+    b, h, tq, dh = q.shape
+    tk = k.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+
+    qf = q.reshape(b * h, tq, dh)
+    kf = k.reshape(b * h, tk, dh)
+    vf = v.reshape(b * h, tk, dh)
+    d_pad = max(128, _cdiv(dh, 128) * 128)
+    qf = _pad_to(qf, 2, d_pad)
+    kf = _pad_to(kf, 2, d_pad)
+    vf = _pad_to(vf, 2, d_pad)
+    # Round the query block to a sublane multiple (16 covers bf16's
+    # (16, 128) tile; fine for f32 too); key blocks to full lanes.
+    bq = min(block_q, _cdiv(tq, 16) * 16)
+    bk = min(block_k, _cdiv(tk, 128) * 128)
+    qf = _pad_to(qf, 1, bq)
+    kf = _pad_to(kf, 1, bk)
+    vf = _pad_to(vf, 1, bk)
+
+    out = _flash(qf, kf, vf, scale, bq, bk, tk)
+    return out[:, :tq, :dh].reshape(b, h, tq, dh)

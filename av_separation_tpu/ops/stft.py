@@ -41,7 +41,11 @@ def hann_symmetric(n_fft: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def dft_basis(n_fft: int, dtype: str = "float32"):
-    """Windowed rDFT basis matrices (n_fft, freq_bins), float64 precomputed."""
+    """Windowed rDFT basis matrices (n_fft, freq_bins), float64 precomputed.
+
+    Returns NumPy arrays (safe to cache across jit traces — a cached jnp
+    array created inside a trace would leak the tracer).
+    """
     freq_bins = n_fft // 2 + 1
     n = np.arange(n_fft)[:, None].astype(np.float64)
     k = np.arange(freq_bins)[None, :].astype(np.float64)
@@ -49,7 +53,7 @@ def dft_basis(n_fft: int, dtype: str = "float32"):
     w = hann_symmetric(n_fft)[:, None]
     cos_b = (w * np.cos(ang)).astype(dtype)
     sin_b = (w * -np.sin(ang)).astype(dtype)
-    return jnp.asarray(cos_b), jnp.asarray(sin_b)
+    return cos_b, sin_b
 
 
 def frame_signal(audio: jnp.ndarray, n_fft: int, hop: int, num_frames: int):
@@ -75,14 +79,18 @@ def stft_magnitude(audio: jnp.ndarray, n_fft: int, hop: int,
     if num_frames is None:
         num_frames = 1 + audio.shape[-1] // hop
     frames = frame_signal(audio, n_fft, hop, num_frames).astype(dtype)
-    cos_b, sin_b = dft_basis(n_fft)
-    cos_b = cos_b.astype(dtype)
-    sin_b = sin_b.astype(dtype)
-    # Batched (..., T, n_fft) @ (n_fft, F) — lands on the MXU.
+    cos_np, sin_np = dft_basis(n_fft)
+    cos_b = jnp.asarray(cos_np, dtype)
+    sin_b = jnp.asarray(sin_np, dtype)
+    # Batched (..., T, n_fft) @ (n_fft, F) — lands on the MXU.  HIGHEST
+    # precision: runs once per utterance; keeps spectra near the reference's
+    # float64 rfft.
     re = jnp.einsum("...tn,nf->...tf", frames, cos_b,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     im = jnp.einsum("...tn,nf->...tf", frames, sin_b,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     mag = jnp.sqrt(re * re + im * im)
     # (..., T, F) -> (..., F, T) to match the reference layout.
     return jnp.swapaxes(mag, -1, -2).astype(dtype)

@@ -87,3 +87,47 @@ class TestDeviceStft:
         audio = rng.normal(size=(3, 2, 2000)).astype(np.float32)
         out = stft_magnitude(jnp.asarray(audio), 128, 64)
         assert out.shape == (3, 2, 65, 1 + 2000 // 64)
+
+
+class TestDeviceGenerator:
+    def test_shapes_and_ranges(self):
+        import jax
+        from av_separation_tpu.data.device_synthetic import generate_batch
+        cfg = DataConfig(num_samples=8, sample_rate=2000, duration=1.0,
+                         n_fft=128, hop_length=64, num_frames=5,
+                         frame_h=16, frame_w=16)
+        batch = generate_batch(jax.random.PRNGKey(0), cfg, 4)
+        assert batch["mixed_spec"].shape == (4, 65, 32)
+        assert batch["lip_frames"].shape == (4, 10, 16, 16)
+        assert batch["clean_specs"].shape == (4, 2, 65, 32)
+        lips = np.asarray(batch["lip_frames"])
+        assert lips.min() >= 0.0 and lips.max() <= 1.0
+
+    def test_distribution_matches_host(self):
+        """Spectral energy statistics should match the host generator's."""
+        import jax
+        from av_separation_tpu.data.device_synthetic import generate_batch
+        cfg = DataConfig(num_samples=64, sample_rate=2000, duration=1.0,
+                         n_fft=128, hop_length=64, num_frames=5,
+                         frame_h=16, frame_w=16)
+        host = SyntheticAVDataset(cfg)
+        host_energy = np.mean([np.square(host[i]["mixed_spec"]).mean()
+                               for i in range(64)])
+        dev = generate_batch(jax.random.PRNGKey(0), cfg, 64)
+        dev_energy = float(np.square(np.asarray(dev["mixed_spec"])).mean())
+        assert abs(dev_energy - host_energy) / host_energy < 0.15
+
+    def test_mixture_is_sum_of_sines(self):
+        import jax
+        from av_separation_tpu.data.device_synthetic import generate_batch
+        cfg = DataConfig(num_samples=8, sample_rate=2000, duration=1.0,
+                         n_fft=128, hop_length=64, num_frames=5,
+                         frame_h=16, frame_w=16)
+        b = generate_batch(jax.random.PRNGKey(1), cfg, 2)
+        # Mixed spectrogram energy >= each clean's (triangle-ish check) and
+        # clean specs each show a single dominant frequency band.
+        clean = np.asarray(b["clean_specs"])
+        for s in range(2):
+            prof = clean[0, s].sum(axis=1)
+            peak = prof.argmax()
+            assert prof[peak] > 5 * np.median(prof + 1e-6)

@@ -1,0 +1,172 @@
+"""Pallas kernel vs XLA-reference allclose gates (SURVEY.md §7.1 step 5).
+
+On the CPU test backend the kernels run through the Pallas TPU interpreter
+(`force_tpu_interpret_mode`); the same code paths compile natively on TPU and
+are exercised there by bench.py --impl pallas.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from av_separation_tpu.ops.attention import attention_xla
+
+
+def rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(
+        size=shape).astype(np.float32))
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("tq,tk,dh", [
+        (63, 50, 32),    # demo cross-attention shape
+        (63, 63, 32),    # demo self-attention
+        (128, 128, 64),  # aligned
+        (200, 37, 64),   # unaligned both axes
+    ])
+    def test_forward_allclose(self, tq, tk, dh):
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        q = rand((2, 4, tq, dh), 0)
+        k = rand((2, 4, tk, dh), 1)
+        v = rand((2, 4, tk, dh), 2)
+        ours = flash_attention(q, k, v)
+        ref = attention_xla(q, k, v)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_backward_allclose(self):
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        q = rand((1, 2, 63, 32), 0)
+        k = rand((1, 2, 50, 32), 1)
+        v = rand((1, 2, 50, 32), 2)
+        g = rand((1, 2, 63, 32), 3)
+
+        def f_pallas(q, k, v):
+            return jnp.vdot(flash_attention(q, k, v), g)
+
+        def f_ref(q, k, v):
+            return jnp.vdot(attention_xla(q, k, v), g)
+
+        gp = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3,
+                err_msg=f"d{name} mismatch")
+
+    def test_long_sequence_blockwise(self):
+        # Multiple q and k blocks exercise the online-softmax carry.
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        q = rand((1, 1, 384, 64), 0)
+        k = rand((1, 1, 300, 64), 1)
+        v = rand((1, 1, 300, 64), 2)
+        ours = flash_attention(q, k, v, block_q=128, block_k=128)
+        ref = attention_xla(q, k, v)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+class TestFusedDecoder:
+    def _setup(self, b=2, t=63, d=128, s=2, f=257, seed=0):
+        r = np.random.default_rng(seed)
+        fused = jnp.asarray(r.normal(size=(b, t, d)).astype(np.float32))
+        w1 = jnp.asarray(r.normal(size=(d, 2 * d)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(r.normal(size=(2 * d,)).astype(np.float32) * 0.05)
+        w2 = jnp.asarray(r.normal(size=(2 * d, s * f)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(r.normal(size=(s * f,)).astype(np.float32) * 0.05)
+        mixed = jnp.asarray(r.normal(size=(b, f, t)).astype(np.float32))
+        return fused, w1, b1, w2, b2, mixed, s, f
+
+    def _reference(self, fused, w1, b1, w2, b2, mixed, s, f):
+        bsz, t, _ = fused.shape
+        h = jax.nn.gelu(fused @ w1 + b1, approximate=False)
+        logits = h @ w2 + b2
+        masks = jax.nn.sigmoid(
+            logits.reshape(bsz, t, s, f).transpose(0, 2, 3, 1))
+        return masks * mixed[:, None], masks
+
+    def test_forward_allclose(self):
+        from av_separation_tpu.ops.pallas.decoder import fused_mask_decoder
+        fused, w1, b1, w2, b2, mixed, s, f = self._setup()
+        sep_p, mask_p = fused_mask_decoder(fused, w1, b1, w2, b2, mixed, s, f)
+        sep_r, mask_r = self._reference(fused, w1, b1, w2, b2, mixed, s, f)
+        np.testing.assert_allclose(np.asarray(mask_p), np.asarray(mask_r),
+                                   atol=2e-6, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sep_p), np.asarray(sep_r),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_backward_allclose(self):
+        from av_separation_tpu.ops.pallas.decoder import fused_mask_decoder
+        fused, w1, b1, w2, b2, mixed, s, f = self._setup(t=37)
+
+        def loss_p(*args):
+            sep, masks = fused_mask_decoder(*args, s, f)
+            return jnp.sum(sep * sep) + jnp.sum(masks)
+
+        def loss_r(*args):
+            sep, masks = self._reference(*args, s, f)
+            return jnp.sum(sep * sep) + jnp.sum(masks)
+
+        gp = jax.grad(loss_p, argnums=tuple(range(6)))(
+            fused, w1, b1, w2, b2, mixed)
+        gr = jax.grad(loss_r, argnums=tuple(range(6)))(
+            fused, w1, b1, w2, b2, mixed)
+        for name, a, b in zip(("fused", "w1", "b1", "w2", "b2", "mixed"),
+                              gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-4,
+                err_msg=f"grad {name}")
+
+    def test_model_with_pallas_decoder_matches_golden(self, golden_model):
+        import os
+        import jax.tree_util as jtu
+        from av_separation_tpu.config import ModelConfig
+        from av_separation_tpu.models.model import AVSeparationTransformer
+        from av_separation_tpu.utils.transplant import (
+            from_reference_state_dict, load_golden_state_dict)
+        sd = load_golden_state_dict(os.path.join(
+            os.path.dirname(__file__), "golden", "golden_model.npz"))
+        params, stats = from_reference_state_dict(sd)
+        cfg = ModelConfig(freq_bins=257, d_model=128, nhead=4,
+                          num_encoder_layers=2, num_fusion_layers=2,
+                          num_speakers=2, dropout=0.1,
+                          decoder_impl="pallas")
+        model = AVSeparationTransformer(cfg)
+        sep, masks = model.apply(
+            {"params": jtu.tree_map(jnp.asarray, params),
+             "batch_stats": jtu.tree_map(jnp.asarray, stats)},
+            jnp.asarray(golden_model["mixed"]),
+            jnp.asarray(golden_model["frames"]), deterministic=True)
+        np.testing.assert_allclose(np.asarray(masks), golden_model["masks"],
+                                   atol=2e-5, rtol=1e-4)
+
+
+class TestPallasStft:
+    def test_matches_host_reference(self):
+        from av_separation_tpu.data.synthetic import stft_magnitude_np
+        from av_separation_tpu.ops.pallas.stft import stft_magnitude_pallas
+        rng = np.random.default_rng(0)
+        audio = rng.normal(size=(3, 8000)).astype(np.float32)
+        host = np.stack([stft_magnitude_np(a, 512, 128, 63) for a in audio])
+        dev = stft_magnitude_pallas(jnp.asarray(audio), 512, 128, 63)
+        assert dev.shape == (3, 257, 63)
+        np.testing.assert_allclose(np.asarray(dev), host, atol=5e-4,
+                                   rtol=1e-4)
+
+    def test_odd_config_1d(self):
+        from av_separation_tpu.data.synthetic import stft_magnitude_np
+        from av_separation_tpu.ops.pallas.stft import stft_magnitude_pallas
+        rng = np.random.default_rng(1)
+        audio = rng.normal(size=2000).astype(np.float32)
+        host = stft_magnitude_np(audio, 128, 64, 32)
+        dev = stft_magnitude_pallas(jnp.asarray(audio), 128, 64, 32)
+        np.testing.assert_allclose(np.asarray(dev), host, atol=5e-4,
+                                   rtol=1e-4)
