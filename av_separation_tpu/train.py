@@ -116,13 +116,10 @@ def _opt_state_shardings(mesh: Mesh, abstract_opt: Any, abstract_params: Any,
                            or jax.tree_util.tree_structure(n) == params_struct))
 
 
-def make_train_step(model: AVSeparationTransformer, cfg: ExperimentConfig,
-                    mesh: Optional[Mesh] = None) -> Callable:
-    """Build the jitted fwd+bwd+update step: (state, batch) -> (state, metrics).
-
-    batch: dict with mixed_spec (B,F,T), lip_frames (B,N,H,W),
-    clean_specs (B,S,F,T).
-    """
+def _train_step_body(model: AVSeparationTransformer,
+                     cfg: ExperimentConfig) -> Callable:
+    """Unjitted (state, batch) -> (state, metrics) update body, shared by the
+    per-step jit, the scan-fused step, and the multi-chip pjit."""
     tx = make_optimizer(cfg)
     loss_cfg = cfg.loss
 
@@ -152,6 +149,17 @@ def make_train_step(model: AVSeparationTransformer, cfg: ExperimentConfig,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(model: AVSeparationTransformer, cfg: ExperimentConfig,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """Build the jitted fwd+bwd+update step: (state, batch) -> (state, metrics).
+
+    batch: dict with mixed_spec (B,F,T), lip_frames (B,N,H,W),
+    clean_specs (B,S,F,T).
+    """
+    step_fn = _train_step_body(model, cfg)
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -159,6 +167,38 @@ def make_train_step(model: AVSeparationTransformer, cfg: ExperimentConfig,
                   for k in ("mixed_spec", "lip_frames", "clean_specs")}
     return jax.jit(step_fn, donate_argnums=(0,),
                    in_shardings=(None, batch_spec))
+
+
+def make_fused_train_steps(model: AVSeparationTransformer,
+                           cfg: ExperimentConfig, steps_per_call: int,
+                           mesh: Optional[Mesh] = None) -> Callable:
+    """Fully-fused training: `steps_per_call` update steps per dispatch via
+    lax.scan, with the synthetic batch generated ON DEVICE inside the scan —
+    data synthesis, STFT, fwd, bwd and the optimizer update compile into one
+    XLA program with zero host involvement between dispatches.
+
+    (state,) -> (state, last_loss).  The reference's equivalent is a Python
+    loop over a host DataLoader (reference demo.py:94-104).
+    """
+    from av_separation_tpu.data.device_synthetic import generate_batch
+
+    step_fn = _train_step_body(model, cfg)
+    data_cfg = cfg.data
+    batch_size = cfg.train.batch_size
+
+    def body(state, _):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 17),
+                                 state.step)
+        batch = generate_batch(key, data_cfg, batch_size)
+        state, metrics = step_fn(state, batch)
+        return state, metrics["loss"]
+
+    def multi(state):
+        state, losses = jax.lax.scan(body, state, None,
+                                     length=steps_per_call)
+        return state, losses[-1]
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_step(model: AVSeparationTransformer) -> Callable:

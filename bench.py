@@ -36,6 +36,10 @@ def main() -> int:
                     help="kernel impl override: xla | pallas")
     ap.add_argument("--dtype", default=None,
                     help="compute dtype override: float32 | bfloat16")
+    ap.add_argument("--mode", choices=("fused", "per_step"), default="fused",
+                    help="fused: on-device data gen + K steps per dispatch "
+                         "(device-true throughput); per_step: one dispatch "
+                         "per step with a host-fed batch")
     args = ap.parse_args()
 
     import jax
@@ -57,34 +61,50 @@ def main() -> int:
         cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch))
 
     d = cfg.data
-    rng = np.random.default_rng(0)
     b = args.batch
-    batch = {
-        "mixed_spec": jnp.asarray(rng.normal(
-            size=(b, d.freq_bins, d.num_stft_frames)).astype(np.float32)),
-        "lip_frames": jnp.asarray(rng.normal(
-            size=(b, d.total_lip_frames, d.frame_h, d.frame_w))
-            .astype(np.float32)),
-        "clean_specs": jnp.asarray(rng.normal(
-            size=(b, d.num_speakers, d.freq_bins, d.num_stft_frames))
-            .astype(np.float32)),
-    }
-
     model, state = create_train_state(cfg)
-    step_fn = make_train_step(model, cfg)
 
-    # Warmup: compile + 2 steps.
-    for _ in range(3):
-        state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    if args.mode == "fused":
+        # Whole pipeline on device: synthetic data gen + STFT + fwd + bwd +
+        # update, K steps per dispatch (lax.scan) — measures device-true
+        # throughput without host dispatch latency in the loop.
+        from av_separation_tpu.train import make_fused_train_steps
+        k = max(10, args.steps // 5)
+        fused = make_fused_train_steps(model, cfg, k)
+        state, loss = fused(state)  # compile + warm
+        jax.block_until_ready(loss)
+        n_calls = max(1, args.steps // k)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, loss = fused(state)
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        total_steps = n_calls * k
+    else:
+        rng = np.random.default_rng(0)
+        batch = {
+            "mixed_spec": jnp.asarray(rng.normal(
+                size=(b, d.freq_bins, d.num_stft_frames))
+                .astype(np.float32)),
+            "lip_frames": jnp.asarray(rng.normal(
+                size=(b, d.total_lip_frames, d.frame_h, d.frame_w))
+                .astype(np.float32)),
+            "clean_specs": jnp.asarray(rng.normal(
+                size=(b, d.num_speakers, d.freq_bins, d.num_stft_frames))
+                .astype(np.float32)),
+        }
+        step_fn = make_train_step(model, cfg)
+        for _ in range(3):
+            state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        total_steps = args.steps
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-
-    audio_seconds = args.steps * b * d.duration
+    audio_seconds = total_steps * b * d.duration
     value = audio_seconds / dt
     n_chips = jax.device_count()
     result = {

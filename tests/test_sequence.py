@@ -1,0 +1,91 @@
+"""Sequence-parallel attention tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from av_separation_tpu.config import MeshConfig
+from av_separation_tpu.ops.attention import multi_head_attention
+from av_separation_tpu.parallel.mesh import make_mesh
+
+needs_devices = pytest.mark.skipif(jax.device_count() < 8,
+                                   reason="needs 8 devices")
+
+
+def rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(
+        size=shape).astype(np.float32))
+
+
+@needs_devices
+class TestSequenceParallel:
+    def setup_method(self, _):
+        self.mesh = make_mesh(MeshConfig(data=1, model=8))
+
+    def test_all_gather_kv_matches_dense(self):
+        from av_separation_tpu.parallel.sequence import (
+            sequence_parallel_attention)
+        q = rand((2, 64, 32), 0)   # T=64 shards 8 ways
+        k = rand((2, 64, 32), 1)
+        v = rand((2, 64, 32), 2)
+        dense = multi_head_attention(q, k, v, nhead=4)
+        with self.mesh:
+            sp = sequence_parallel_attention(q, k, v, 4, self.mesh)
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(dense),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_cross_attention_kv_shorter(self):
+        # Cross-modal case: visual KV length != audio query length.
+        from av_separation_tpu.parallel.sequence import (
+            sequence_parallel_attention)
+        q = rand((2, 64, 32), 0)
+        k = rand((2, 16, 32), 1)   # N=16 video frames, shards 8 ways
+        v = rand((2, 16, 32), 2)
+        dense = multi_head_attention(q, k, v, nhead=4)
+        with self.mesh:
+            sp = sequence_parallel_attention(q, k, v, 4, self.mesh)
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(dense),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_ring_attention_matches_dense(self):
+        from av_separation_tpu.parallel.sequence import ring_attention
+        q = rand((1, 64, 32), 3)
+        k = rand((1, 64, 32), 4)
+        v = rand((1, 64, 32), 5)
+        dense = multi_head_attention(q, k, v, nhead=2)
+        with self.mesh:
+            ring = ring_attention(q, k, v, 2, self.mesh)
+        np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_ring_attention_grad(self):
+        from av_separation_tpu.parallel.sequence import ring_attention
+        q = rand((1, 32, 16), 6)
+        k = rand((1, 32, 16), 7)
+        v = rand((1, 32, 16), 8)
+
+        def loss_ring(q):
+            with self.mesh:
+                return jnp.sum(jnp.square(
+                    ring_attention(q, k, v, 2, self.mesh)))
+
+        def loss_dense(q):
+            return jnp.sum(jnp.square(multi_head_attention(q, k, v, 2)))
+
+        g_ring = jax.grad(loss_ring)(q)
+        g_dense = jax.grad(loss_dense)(q)
+        np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_dense),
+                                   atol=5e-4, rtol=1e-3)
+
+
+class TestDistributedHelpers:
+    def test_initialize_single_host_noop(self):
+        from av_separation_tpu.parallel.distributed import initialize
+        initialize()  # must not raise on a single host
+
+    def test_barrier_completes(self):
+        from av_separation_tpu.parallel.distributed import (
+            barrier, check_alive)
+        barrier(timeout_s=120.0)
+        assert check_alive(timeout_s=120.0)
