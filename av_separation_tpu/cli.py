@@ -49,7 +49,8 @@ def _build_config(args):
     cfg = get_config(args.config)
     model_kw = {}
     if args.impl:
-        model_kw.update(attn_impl=args.impl, decoder_impl=args.impl)
+        model_kw.update(attn_impl=args.impl, decoder_impl=args.impl,
+                        proj_impl=args.impl)
     if args.dtype:
         model_kw.update(compute_dtype=args.dtype)
     if model_kw:

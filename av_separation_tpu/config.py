@@ -38,6 +38,7 @@ class ModelConfig:
     # swaps in the fused Pallas TPU kernel (each gated on allclose vs 'xla').
     attn_impl: str = "xla"          # self/cross attention: 'xla' | 'pallas'
     decoder_impl: str = "xla"       # fused mask MLP+sigmoid+apply: 'xla' | 'pallas'
+    proj_impl: str = "xla"          # audio conv1d input projection: 'xla' | 'pallas'
     # Compute dtype for matmuls/activations; params stay float32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # Remat (activation checkpointing) for the transformer stacks.

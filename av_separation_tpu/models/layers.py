@@ -144,24 +144,27 @@ class MultiHeadAttention(nn.Module):
     The q/k/v/out projections are separate Dense layers so each can carry its
     own PartitionSpec (heads sharded over the 'model' mesh axis).  Reference
     torch in_proj weights transplant by slicing rows (see tests/transplant.py).
+    `dtype` is the computation dtype (params stay float32); softmax
+    statistics accumulate in f32 inside the attention op regardless.
     """
 
     d_model: int
     nhead: int
     dropout: float = 0.0
     impl: str = "xla"
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, q_in, kv_in, *, deterministic: bool = True):
         d = self.d_model
-        q = dense(d, d, "q_proj")(q_in)
-        k = dense(d, d, "k_proj")(kv_in)
-        v = dense(d, d, "v_proj")(kv_in)
+        q = dense(d, d, "q_proj", self.dtype)(q_in)
+        k = dense(d, d, "k_proj", self.dtype)(kv_in)
+        v = dense(d, d, "v_proj", self.dtype)(kv_in)
         rate = 0.0 if deterministic else self.dropout
         rng = self.make_rng("dropout") if rate > 0.0 else None
         out = multi_head_attention(q, k, v, self.nhead, impl=self.impl,
                                    dropout_rate=rate, dropout_rng=rng)
-        return dense(d, d, "out_proj")(out)
+        return dense(d, d, "out_proj", self.dtype)(out)
 
 
 # ---------------------------------------------------------------------------
@@ -177,21 +180,23 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int
     dropout: float = 0.1
     attn_impl: str = "xla"
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         d = self.d_model
         drop = lambda name: nn.Dropout(self.dropout, name=name)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x)
         h = MultiHeadAttention(d, self.nhead, self.dropout, self.attn_impl,
-                               name="self_attn")(h, h, deterministic=deterministic)
+                               self.dtype, name="self_attn")(
+            h, h, deterministic=deterministic)
         x = x + drop("drop1")(h, deterministic=deterministic)
 
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = dense(4 * d, d, "linear1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x)
+        h = dense(4 * d, d, "linear1", self.dtype)(h)
         h = nn.relu(h)
         h = drop("drop_ff")(h, deterministic=deterministic)
-        h = dense(d, 4 * d, "linear2")(h)
+        h = dense(d, 4 * d, "linear2", self.dtype)(h)
         x = x + drop("drop2")(h, deterministic=deterministic)
         return x
 
@@ -206,6 +211,7 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     attn_impl: str = "xla"
     remat: bool = False
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -215,6 +221,6 @@ class TransformerEncoder(nn.Module):
                                  static_argnums=())
         for i in range(self.num_layers):
             x = layer_cls(self.d_model, self.nhead, self.dropout,
-                          self.attn_impl, name=f"layer_{i}")(
+                          self.attn_impl, self.dtype, name=f"layer_{i}")(
                 x, deterministic=deterministic)
         return x

@@ -35,10 +35,33 @@ from av_separation_tpu.models.layers import (
 from av_separation_tpu.ops.interpolate import interpolate_time_linear
 
 
-def _conv(features: int, kernel, strides, padding, name: str) -> nn.Conv:
+def _cdt(cfg: ModelConfig):
+    """Computation dtype for flax modules: None keeps pure float32."""
+    return None if cfg.compute_dtype == "float32" else cfg.compute_dtype
+
+
+def _conv(features: int, kernel, strides, padding, name: str,
+          dtype=None) -> nn.Conv:
     return nn.Conv(features, kernel, strides=strides, padding=padding,
-                   name=name, kernel_init=torch_linear_kernel_init,
+                   name=name, dtype=dtype,
+                   kernel_init=torch_linear_kernel_init,
                    bias_init=torch_bias_init(0))
+
+
+class _Conv1dParams(nn.Module):
+    """Raw k=3 conv1d kernel+bias holder (flax layout (3, C_in, C_out)),
+    shared by the XLA lowering and the fused Pallas projection kernel."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_kernel_init,
+                            (3, self.in_features, self.out_features))
+        bias = self.param("bias", torch_bias_init(3 * self.in_features),
+                          (self.out_features,))
+        return kernel, bias
 
 
 class AudioEncoder(nn.Module):
@@ -46,7 +69,9 @@ class AudioEncoder(nn.Module):
 
     Input (B, freq_bins, T) -> output (B, T, d_model).  The two k=3 conv1d
     projections run in (B, T, C) channels-last layout; with C in
-    {freq_bins, d_model} these are T x C x d matmuls on the MXU.
+    {freq_bins, d_model} these are T x C x d matmuls on the MXU.  With
+    `proj_impl='pallas'` both convs + ReLUs fuse into one VMEM kernel
+    (ops/pallas/audio_proj.py).
     """
 
     cfg: ModelConfig
@@ -55,14 +80,24 @@ class AudioEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
         cfg = self.cfg
         h = jnp.swapaxes(x, -1, -2)  # (B, T, F): time-major, channels last
-        h = _conv(cfg.d_model, (3,), (1,), [(1, 1)], "conv1")(h)
-        h = nn.relu(h)
-        h = _conv(cfg.d_model, (3,), (1,), [(1, 1)], "conv2")(h)
-        h = nn.relu(h)
+        w1, b1 = _Conv1dParams(cfg.freq_bins, cfg.d_model, name="conv1")()
+        w2, b2 = _Conv1dParams(cfg.d_model, cfg.d_model, name="conv2")()
+        if cfg.proj_impl == "pallas":
+            from av_separation_tpu.ops.pallas.audio_proj import (
+                fused_audio_projection)
+            h = fused_audio_projection(h, w1, b1, w2, b2)
+        else:
+            for w, bias in ((w1, b1), (w2, b2)):
+                h = jax.lax.conv_general_dilated(
+                    h, w.astype(h.dtype), window_strides=(1,),
+                    padding=[(1, 1)],
+                    dimension_numbers=("NWC", "WIO", "NWC"))
+                h = nn.relu(h + bias.astype(h.dtype))
         h = PositionalEncoding(cfg.d_model, cfg.dropout, name="pos_enc")(
             h, deterministic=deterministic)
         h = TransformerEncoder(cfg.d_model, cfg.nhead, cfg.num_encoder_layers,
                                cfg.dropout, cfg.attn_impl, cfg.remat,
+                               _cdt(cfg),
                                name="transformer")(h, deterministic=deterministic)
         return h
 
@@ -88,18 +123,20 @@ class VisualEncoder(nn.Module):
         b, n, h_dim, w_dim = frames.shape
         x = frames.reshape(b * n, h_dim, w_dim, 1)
         for i, ch in enumerate((32, 64, 128)):
-            x = _conv(ch, (3, 3), (2, 2), [(1, 1), (1, 1)], f"conv{i + 1}")(x)
+            x = _conv(ch, (3, 3), (2, 2), [(1, 1), (1, 1)], f"conv{i + 1}",
+                      _cdt(cfg))(x)
             x = TorchBatchNorm(ch, name=f"bn{i + 1}")(
                 x, use_running_average=deterministic)
             x = nn.relu(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B*N, 128)
-        x = dense(cfg.d_model, 128, "frame_proj")(x)
+        x = dense(cfg.d_model, 128, "frame_proj", _cdt(cfg))(x)
         x = x.reshape(b, n, cfg.d_model)
 
         x = PositionalEncoding(cfg.d_model, cfg.dropout, name="pos_enc")(
             x, deterministic=deterministic)
         x = TransformerEncoder(cfg.d_model, cfg.nhead, cfg.num_encoder_layers,
                                cfg.dropout, cfg.attn_impl, cfg.remat,
+                               _cdt(cfg),
                                name="transformer")(x, deterministic=deterministic)
         return interpolate_time_linear(x, target_len)
 
@@ -117,17 +154,18 @@ class CrossAttentionLayer(nn.Module):
     def __call__(self, audio, visual, *, deterministic: bool = True):
         cfg = self.cfg
         drop = lambda name: nn.Dropout(cfg.dropout, name=name)
-        normed = nn.LayerNorm(epsilon=1e-5, name="norm1")(audio)
+        dt = _cdt(cfg)
+        normed = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=dt)(audio)
         attn = MultiHeadAttention(cfg.d_model, cfg.nhead, cfg.dropout,
-                                  cfg.attn_impl, name="cross_attn")(
+                                  cfg.attn_impl, dt, name="cross_attn")(
             normed, visual, deterministic=deterministic)
         audio = audio + drop("drop1")(attn, deterministic=deterministic)
 
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(audio)
-        h = dense(4 * cfg.d_model, cfg.d_model, "ff1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=dt)(audio)
+        h = dense(4 * cfg.d_model, cfg.d_model, "ff1", dt)(h)
         h = nn.gelu(h, approximate=False)
         h = drop("drop_ff")(h, deterministic=deterministic)
-        h = dense(cfg.d_model, 4 * cfg.d_model, "ff2")(h)
+        h = dense(cfg.d_model, 4 * cfg.d_model, "ff2", dt)(h)
         audio = audio + drop("drop2")(h, deterministic=deterministic)
         return audio
 

@@ -32,8 +32,25 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max error 1.5e-7 — at f32 epsilon).
+
+    Neither erf nor erfc lowers in the Pallas TPU Mosaic backend, so the
+    kernel carries its own f32-exact rational approximation.
+    """
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    # Exact (erf-form) GELU; matches jax.nn.gelu(approximate=False) to f32.
+    return 0.5 * x * (1.0 + _erf(x * np.float32(0.7071067811865476)))
 
 
 def _decoder_kernel(h_ref, w1_ref, b1_ref, w2_ref, b2_ref, mixed_ref,

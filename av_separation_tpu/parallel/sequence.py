@@ -24,7 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from av_separation_tpu.ops.attention import (
     attention_xla, merge_heads, split_heads)
@@ -49,6 +49,31 @@ def sequence_parallel_attention(q: jnp.ndarray, k: jnp.ndarray,
     spec = P(None, axis, None)
     return jax.shard_map(local, mesh=mesh,
                          in_specs=(spec, spec, spec), out_specs=spec)(q, k, v)
+
+
+def make_sp_forward(model, mesh: Mesh, axis: str = "model"):
+    """Sequence-parallel full-model inference via GSPMD: jit the forward with
+    the spectrogram's time axis sharded over `axis` and let XLA partition
+    every downstream op (conv halos, attention, the visual->audio
+    interpolation gather) and insert the ICI collectives.
+
+    This is the idiomatic alternative to hand-written shard_map for the
+    end-to-end path; the explicit all-gather/ring kernels above remain for
+    when the collective schedule must be controlled manually.
+
+    Returns fn(variables, mixed_spec (B,F,T), lip_frames) -> (sep, masks)
+    with outputs sharded over T.
+    """
+    in_sh = (None,
+             NamedSharding(mesh, P(None, None, axis)),     # (B, F, T)
+             NamedSharding(mesh, P()))                      # lip frames
+    out_sh = NamedSharding(mesh, P(None, None, None, axis))  # (B, S, F, T)
+
+    def fwd(variables, mixed_spec, lip_frames):
+        return model.apply(variables, mixed_spec, lip_frames,
+                           deterministic=True)
+
+    return jax.jit(fwd, in_shardings=in_sh, out_shardings=(out_sh, out_sh))
 
 
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -45,6 +45,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from av_separation_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from av_separation_tpu import get_config
     from av_separation_tpu.train import create_train_state, make_train_step
@@ -52,7 +54,8 @@ def main() -> int:
     cfg = get_config(args.config)
     model_kw = {}
     if args.impl:
-        model_kw.update(attn_impl=args.impl, decoder_impl=args.impl)
+        model_kw.update(attn_impl=args.impl, decoder_impl=args.impl,
+                        proj_impl=args.impl)
     if args.dtype:
         model_kw.update(compute_dtype=args.dtype)
     if model_kw:
@@ -68,16 +71,22 @@ def main() -> int:
         # Whole pipeline on device: synthetic data gen + STFT + fwd + bwd +
         # update, K steps per dispatch (lax.scan) — measures device-true
         # throughput without host dispatch latency in the loop.
+        #
+        # Sync via np.asarray(loss), NOT block_until_ready: the final loss
+        # value transitively depends on every step (donated state chain), so
+        # fetching it is a true end-to-end barrier.  (On this rig's tunneled
+        # TPU backend block_until_ready was observed to return early,
+        # inflating throughput ~60x.)
         from av_separation_tpu.train import make_fused_train_steps
         k = max(10, args.steps // 5)
         fused = make_fused_train_steps(model, cfg, k)
         state, loss = fused(state)  # compile + warm
-        jax.block_until_ready(loss)
+        float(np.asarray(loss))
         n_calls = max(1, args.steps // k)
         t0 = time.perf_counter()
         for _ in range(n_calls):
             state, loss = fused(state)
-        jax.block_until_ready(loss)
+        assert np.isfinite(float(np.asarray(loss)))
         dt = time.perf_counter() - t0
         total_steps = n_calls * k
     else:
@@ -96,11 +105,11 @@ def main() -> int:
         step_fn = make_train_step(model, cfg)
         for _ in range(3):
             state, metrics = step_fn(state, batch)
-        jax.block_until_ready(metrics["loss"])
+        float(np.asarray(metrics["loss"]))
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, metrics = step_fn(state, batch)
-        jax.block_until_ready(metrics["loss"])
+        assert np.isfinite(float(np.asarray(metrics["loss"])))
         dt = time.perf_counter() - t0
         total_steps = args.steps
 
@@ -108,7 +117,8 @@ def main() -> int:
     value = audio_seconds / dt
     n_chips = jax.device_count()
     result = {
-        "metric": "audio-seconds/s/chip (fwd+bwd train step, demo config)",
+        "metric": (f"audio-seconds/s/chip (fwd+bwd train step, "
+                   f"{args.config} config)"),
         "value": round(value / n_chips, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / n_chips / REFERENCE_AUDIO_S_PER_S, 2),

@@ -30,6 +30,8 @@ def main() -> int:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from av_separation_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     import dataclasses

@@ -170,3 +170,67 @@ class TestPallasStft:
         dev = stft_magnitude_pallas(jnp.asarray(audio), 128, 64, 32)
         np.testing.assert_allclose(np.asarray(dev), host, atol=5e-4,
                                    rtol=1e-4)
+
+
+class TestFusedAudioProjection:
+    def _setup(self, b=2, t=63, f=65, d=64, seed=0):
+        r = np.random.default_rng(seed)
+        x = jnp.asarray(r.normal(size=(b, t, f)).astype(np.float32))
+        w1 = jnp.asarray(r.normal(size=(3, f, d)).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(r.normal(size=(d,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(r.normal(size=(3, d, d)).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(r.normal(size=(d,)).astype(np.float32) * 0.1)
+        return x, w1, b1, w2, b2
+
+    def test_forward_allclose(self):
+        from av_separation_tpu.ops.pallas.audio_proj import (
+            _xla_reference, fused_audio_projection)
+        args = self._setup()
+        ours = fused_audio_projection(*args)
+        ref = _xla_reference(*args)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_unaligned_t(self):
+        from av_separation_tpu.ops.pallas.audio_proj import (
+            _xla_reference, fused_audio_projection)
+        args = self._setup(t=37)
+        np.testing.assert_allclose(
+            np.asarray(fused_audio_projection(*args)),
+            np.asarray(_xla_reference(*args)), atol=2e-5, rtol=1e-4)
+
+    def test_backward_allclose(self):
+        from av_separation_tpu.ops.pallas.audio_proj import (
+            _xla_reference, fused_audio_projection)
+        args = self._setup(t=31)
+
+        gp = jax.grad(lambda *a: jnp.sum(
+            jnp.square(fused_audio_projection(*a))), argnums=(0, 1, 3))(*args)
+        gr = jax.grad(lambda *a: jnp.sum(
+            jnp.square(_xla_reference(*a))), argnums=(0, 1, 3))(*args)
+        for name, a, b in zip(("x", "w1", "w2"), gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-4,
+                                       err_msg=f"grad {name}")
+
+    def test_audio_encoder_pallas_matches_golden(self, golden_model):
+        import os
+        import jax.tree_util as jtu
+        from av_separation_tpu.config import ModelConfig
+        from av_separation_tpu.models.model import AVSeparationTransformer
+        from av_separation_tpu.utils.transplant import (
+            from_reference_state_dict, load_golden_state_dict)
+        sd = load_golden_state_dict(os.path.join(
+            os.path.dirname(__file__), "golden", "golden_model.npz"))
+        params, stats = from_reference_state_dict(sd)
+        cfg = ModelConfig(freq_bins=257, d_model=128, nhead=4,
+                          num_encoder_layers=2, num_fusion_layers=2,
+                          num_speakers=2, dropout=0.1, proj_impl="pallas")
+        model = AVSeparationTransformer(cfg)
+        sep, masks = model.apply(
+            {"params": jtu.tree_map(jnp.asarray, params),
+             "batch_stats": jtu.tree_map(jnp.asarray, stats)},
+            jnp.asarray(golden_model["mixed"]),
+            jnp.asarray(golden_model["frames"]), deterministic=True)
+        np.testing.assert_allclose(np.asarray(masks), golden_model["masks"],
+                                   atol=2e-5, rtol=1e-4)

@@ -89,3 +89,30 @@ class TestDistributedHelpers:
             barrier, check_alive)
         barrier(timeout_s=120.0)
         assert check_alive(timeout_s=120.0)
+
+
+@needs_devices
+class TestSpForward:
+    def test_full_model_sequence_sharded_matches_dense(self):
+        from av_separation_tpu.config import ModelConfig
+        from av_separation_tpu.models.model import AVSeparationTransformer
+        from av_separation_tpu.parallel.sequence import make_sp_forward
+        cfg = ModelConfig(freq_bins=65, d_model=32, nhead=2,
+                          num_encoder_layers=1, num_fusion_layers=1,
+                          num_speakers=2, dropout=0.0)
+        model = AVSeparationTransformer(cfg)
+        mixed = rand((2, 65, 64), 0)   # T=64 shards 8 ways
+        frames = rand((2, 10, 16, 16), 1)
+        variables = model.init(jax.random.PRNGKey(0), mixed, frames)
+        dense_sep, dense_masks = model.apply(variables, mixed, frames,
+                                             deterministic=True)
+        mesh = make_mesh(MeshConfig(data=1, model=8))
+        sp = make_sp_forward(model, mesh)
+        with mesh:
+            sp_sep, sp_masks = sp(variables, mixed, frames)
+        np.testing.assert_allclose(np.asarray(sp_masks),
+                                   np.asarray(dense_masks),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(sp_sep),
+                                   np.asarray(dense_sep),
+                                   atol=2e-4, rtol=1e-4)
