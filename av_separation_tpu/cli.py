@@ -17,7 +17,6 @@ import argparse
 import dataclasses
 import json
 import sys
-import time
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -44,8 +43,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 
 def _build_config(args):
-    from av_separation_tpu.config import get_config
+    from av_separation_tpu.config import NAMED_CONFIGS, get_config
 
+    if args.config not in NAMED_CONFIGS:
+        sys.exit(f"avsep: unknown config '{args.config}'. "
+                 f"Available: {', '.join(sorted(NAMED_CONFIGS))}")
     cfg = get_config(args.config)
     model_kw = {}
     if args.impl:
@@ -133,8 +135,7 @@ def cmd_train(args) -> int:
     model, state = create_train_state(cfg, mesh)
     start_step = 0
     if cfg.train.checkpoint_dir:
-        from av_separation_tpu.utils.checkpoint import (
-            latest_step, restore_checkpoint)
+        from av_separation_tpu.utils.checkpoint import restore_checkpoint
         state = restore_checkpoint(cfg.train.checkpoint_dir, state)
         start_step = int(state.step)
         if start_step:

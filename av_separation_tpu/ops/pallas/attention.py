@@ -23,7 +23,6 @@ padded key positions are masked to -inf before the softmax.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ import threading
 from typing import Optional
 
 import jax
-import numpy as np
 
 from av_separation_tpu.config import MeshConfig
 from av_separation_tpu.parallel.mesh import make_mesh

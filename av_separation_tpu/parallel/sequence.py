@@ -19,15 +19,11 @@ DP axis; outputs stay sharded like the queries.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from av_separation_tpu.ops.attention import (
-    attention_xla, merge_heads, split_heads)
+from av_separation_tpu.ops.attention import merge_heads, split_heads
 
 
 def sequence_parallel_attention(q: jnp.ndarray, k: jnp.ndarray,

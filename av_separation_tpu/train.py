@@ -15,7 +15,6 @@ over a ('data','model') mesh:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import jax
@@ -28,12 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from av_separation_tpu.config import ExperimentConfig
 from av_separation_tpu.losses import separation_loss
 from av_separation_tpu.models.model import AVSeparationTransformer
-from av_separation_tpu.parallel.mesh import (
-    batch_shardings,
-    make_mesh,
-    param_shardings,
-    replicated,
-)
+from av_separation_tpu.parallel.mesh import param_shardings, replicated
 
 
 class TrainState(struct.PyTreeNode):

@@ -13,7 +13,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from av_separation_tpu.losses import permutation_table
 

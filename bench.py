@@ -31,11 +31,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="demo")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--impl", default=None,
                     help="kernel impl override: xla | pallas")
-    ap.add_argument("--dtype", default=None,
-                    help="compute dtype override: float32 | bfloat16")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="compute dtype: float32 | bfloat16 (default bf16 — "
+                         "verified to reach the same +38 dB demo quality)")
     ap.add_argument("--mode", choices=("fused", "per_step"), default="fused",
                     help="fused: on-device data gen + K steps per dispatch "
                          "(device-true throughput); per_step: one dispatch "
@@ -118,11 +119,19 @@ def main() -> int:
     n_chips = jax.device_count()
     result = {
         "metric": (f"audio-seconds/s/chip (fwd+bwd train step, "
-                   f"{args.config} config)"),
+                   f"{args.config} config, batch={b}, "
+                   f"{cfg.model.compute_dtype})"),
         "value": round(value / n_chips, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / n_chips / REFERENCE_AUDIO_S_PER_S, 2),
     }
+    if jax.default_backend() == "tpu":
+        from av_separation_tpu.utils.roofline import (
+            pct_of_peak, train_step_flops)
+        flops = train_step_flops(cfg, b, include_data_gen=(
+            args.mode == "fused")) * total_steps
+        result["pct_v5e_peak"] = round(
+            pct_of_peak(flops / dt, cfg.model.compute_dtype), 2)
     print(json.dumps(result))
     return 0
 
