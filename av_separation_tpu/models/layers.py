@@ -183,7 +183,7 @@ class TransformerEncoderLayer(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         d = self.d_model
         drop = lambda name: nn.Dropout(self.dropout, name=name)
         h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x)
@@ -217,10 +217,12 @@ class TransformerEncoder(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         layer_cls = TransformerEncoderLayer
         if self.remat:
+            # deterministic is passed positionally (argnum 2; the module is
+            # argnum 0) so jax.checkpoint treats it as static.
             layer_cls = nn.remat(TransformerEncoderLayer,
-                                 static_argnums=())
+                                 static_argnums=(2,))
         for i in range(self.num_layers):
             x = layer_cls(self.d_model, self.nhead, self.dropout,
                           self.attn_impl, self.dtype, name=f"layer_{i}")(
-                x, deterministic=deterministic)
+                x, deterministic)
         return x

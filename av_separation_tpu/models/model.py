@@ -151,7 +151,7 @@ class CrossAttentionLayer(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, audio, visual, *, deterministic: bool = True):
+    def __call__(self, audio, visual, deterministic: bool = True):
         cfg = self.cfg
         drop = lambda name: nn.Dropout(cfg.dropout, name=name)
         dt = _cdt(cfg)
@@ -180,11 +180,12 @@ class CrossModalFusion(nn.Module):
     def __call__(self, audio, visual, *, deterministic: bool = True):
         layer_cls = CrossAttentionLayer
         if self.cfg.remat:
-            layer_cls = nn.remat(CrossAttentionLayer)
+            # deterministic positional (argnum 3) => static under remat.
+            layer_cls = nn.remat(CrossAttentionLayer, static_argnums=(3,))
         h = audio
         for i in range(self.cfg.num_fusion_layers):
             h = layer_cls(self.cfg, name=f"layer_{i}")(
-                h, visual, deterministic=deterministic)
+                h, visual, deterministic)
         return nn.LayerNorm(epsilon=1e-5, name="norm")(h)
 
 

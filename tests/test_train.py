@@ -150,3 +150,21 @@ class TestEvalStep:
         for key in ("input_snr", "output_snr", "mask_min", "mask_max"):
             assert np.isfinite(float(m[key])), key
         assert 0.0 <= float(m["mask_min"]) <= float(m["mask_max"]) <= 1.0
+
+
+class TestRemat:
+    def test_remat_trains_and_matches_no_remat_loss(self):
+        cfg_r = dataclasses.replace(
+            TINY, model=TINY.model.replace(remat=True, dropout=0.0))
+        cfg_n = dataclasses.replace(
+            TINY, model=TINY.model.replace(remat=False, dropout=0.0))
+        model_r, s_r = create_train_state(cfg_r)
+        model_n, s_n = create_train_state(cfg_n)
+        step_r = make_train_step(model_r, cfg_r)
+        step_n = make_train_step(model_n, cfg_n)
+        b = tiny_batch()
+        _, m_r = step_r(s_r, b)
+        _, m_n = step_n(s_n, b)
+        # Rematerialization must not change the math.
+        np.testing.assert_allclose(float(m_r["loss"]), float(m_n["loss"]),
+                                   rtol=1e-5)
