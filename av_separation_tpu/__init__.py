@@ -18,7 +18,12 @@ from av_separation_tpu.config import (
     get_config,
 )
 from av_separation_tpu.data.synthetic import SyntheticAVDataset
+from av_separation_tpu.inference import Separator
 from av_separation_tpu.losses import separation_loss, si_snr
+from av_separation_tpu.ops.istft import (
+    masked_istft,
+    si_snr_waveform,
+)
 from av_separation_tpu.models.model import (
     AudioEncoder,
     AVSeparationTransformer,
@@ -38,6 +43,9 @@ __all__ = [
     "SyntheticAVDataset",
     "separation_loss",
     "si_snr",
+    "Separator",
+    "masked_istft",
+    "si_snr_waveform",
     "ModelConfig",
     "DataConfig",
     "LossConfig",

@@ -1,0 +1,148 @@
+"""Batched inference / serving layer.
+
+The reference has no inference API at all — its only entry point is the
+training demo script (reference demo.py:202) and direct module calls
+(reference README.md:70-126).  This module provides the serving path a
+production deployment needs, TPU-shaped:
+
+  - ``Separator``: holds trained variables, jit-compiles the forward pass
+    once per *bucketed* input shape and caches the executable.  Requests are
+    padded along the batch axis to the next power-of-two bucket so arbitrary
+    request sizes hit a handful of compiled programs instead of recompiling
+    (XLA compiles per static shape).  Batch padding is exact: attention and
+    convs never mix batch items, so padded rows are sliced off untouched.
+  - spectrogram-domain API (``separate``) matching the reference model
+    contract (masks * mixed magnitude, reference model.py:210-220), and a
+    waveform-domain API (``separate_waveform``) the reference lacks: raw
+    mixture audio -> on-device STFT (ops/stft.py) -> model -> masks applied
+    to the complex mixture STFT -> least-squares iSTFT (ops/istft.py) ->
+    per-speaker waveforms, all inside one jitted program.
+
+Checkpoint loading goes through utils/checkpoint.py (Orbax).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av_separation_tpu.config import DataConfig, ModelConfig
+from av_separation_tpu.models.model import AVSeparationTransformer
+from av_separation_tpu.ops.istft import masked_istft
+from av_separation_tpu.ops.stft import stft_magnitude
+
+
+def _bucket_batch(b: int, max_bucket: int = 256) -> int:
+    """Next power-of-two bucket >= b (compile once per bucket, not per b)."""
+    bucket = 1
+    while bucket < b and bucket < max_bucket:
+        bucket *= 2
+    return max(bucket, b)  # degenerate: b > max_bucket pads to exactly b
+
+
+class Separator:
+    """Serving wrapper: trained model variables + shape-bucketed jit cache.
+
+    Parameters
+    ----------
+    model_cfg : ModelConfig for the trained checkpoint.
+    variables : flax variables dict ({'params': ..., 'batch_stats': ...}).
+    data_cfg  : STFT geometry for the waveform API (n_fft, hop).  Optional if
+                only the spectrogram API is used.
+    """
+
+    def __init__(self, model_cfg: ModelConfig, variables: Dict[str, Any],
+                 data_cfg: Optional[DataConfig] = None):
+        self.cfg = model_cfg
+        self.data_cfg = data_cfg
+        self.model = AVSeparationTransformer(model_cfg)
+        self.variables = variables
+        # jit caches keyed implicitly by static input shapes: jax.jit
+        # re-traces per new shape and caches executables internally; we keep
+        # our own counters for observability.
+        self._spec_fn = jax.jit(self._spec_forward)
+        self._wave_fn = jax.jit(self._wave_forward, static_argnums=(3, 4))
+        self.compile_cache_info: Dict[Tuple, int] = {}
+
+    @classmethod
+    def from_checkpoint(cls, path: str, model_cfg: ModelConfig,
+                        data_cfg: Optional[DataConfig] = None) -> "Separator":
+        """Restore a Separator from an Orbax checkpoint directory."""
+        from av_separation_tpu.utils.checkpoint import restore_variables
+        variables = restore_variables(path, model_cfg)
+        return cls(model_cfg, variables, data_cfg)
+
+    # ------------------------------------------------------------------
+    # jitted bodies
+    # ------------------------------------------------------------------
+    def _spec_forward(self, variables, mixed_spec, lip_frames):
+        return self.model.apply(variables, mixed_spec, lip_frames,
+                                deterministic=True)
+
+    def _wave_forward(self, variables, mixed_audio, lip_frames,
+                      n_fft: int, hop: int):
+        num_frames = 1 + mixed_audio.shape[-1] // hop
+        mixed_spec = stft_magnitude(mixed_audio, n_fft, hop, num_frames)
+        _, masks = self.model.apply(variables, mixed_spec, lip_frames,
+                                    deterministic=True)
+        waves = masked_istft(masks, mixed_audio, n_fft, hop)
+        return waves, masks, mixed_spec
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def separate(self, mixed_spec: np.ndarray, lip_frames: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, F, T) magnitude + (B, N, H, W) frames -> (separated, masks).
+
+        Arbitrary B: inputs are zero-padded to the next batch bucket, run
+        through the cached executable, and sliced back to B.
+        """
+        mixed_spec = np.asarray(mixed_spec, np.float32)
+        lip_frames = np.asarray(lip_frames, np.float32)
+        b = mixed_spec.shape[0]
+        bucket = _bucket_batch(b)
+        key = ("spec", bucket) + mixed_spec.shape[1:] + lip_frames.shape[1:]
+        self.compile_cache_info[key] = self.compile_cache_info.get(key, 0) + 1
+        pad = bucket - b
+        if pad:
+            mixed_spec = np.pad(mixed_spec, [(0, pad)] + [(0, 0)] * 2)
+            lip_frames = np.pad(lip_frames, [(0, pad)] + [(0, 0)] * 3)
+        separated, masks = self._spec_fn(self.variables, mixed_spec,
+                                         lip_frames)
+        return (np.asarray(separated[:b]), np.asarray(masks[:b]))
+
+    def separate_waveform(self, mixed_audio: np.ndarray,
+                          lip_frames: np.ndarray
+                          ) -> Dict[str, np.ndarray]:
+        """(B, N_audio) raw mixture + (B, N, H, W) frames -> waveforms.
+
+        Returns dict with 'waveforms' (B, S, N_audio), 'masks' (B, S, F, T),
+        'mixed_spec' (B, F, T).  STFT, model, masking, and iSTFT all run in
+        one jitted on-device program.
+        """
+        if self.data_cfg is None:
+            raise ValueError("separate_waveform requires data_cfg (STFT "
+                             "geometry: n_fft, hop_length)")
+        mixed_audio = np.asarray(mixed_audio, np.float32)
+        lip_frames = np.asarray(lip_frames, np.float32)
+        b = mixed_audio.shape[0]
+        bucket = _bucket_batch(b)
+        key = ("wave", bucket) + mixed_audio.shape[1:] + lip_frames.shape[1:]
+        self.compile_cache_info[key] = self.compile_cache_info.get(key, 0) + 1
+        pad = bucket - b
+        if pad:
+            mixed_audio = np.pad(mixed_audio, [(0, pad), (0, 0)])
+            lip_frames = np.pad(lip_frames, [(0, pad)] + [(0, 0)] * 3)
+        waves, masks, mixed_spec = self._wave_fn(
+            self.variables, mixed_audio, lip_frames,
+            self.data_cfg.n_fft, self.data_cfg.hop_length)
+        return {
+            "waveforms": np.asarray(waves[:b]),
+            "masks": np.asarray(masks[:b]),
+            "mixed_spec": np.asarray(mixed_spec[:b]),
+        }

@@ -59,6 +59,29 @@ def restore_checkpoint(directory: str, state: Any,
     return restored
 
 
+def restore_variables(directory: str, model_cfg: Any = None,
+                      step: Optional[int] = None) -> dict:
+    """Restore just the model variables ({'params', 'batch_stats'}) for
+    inference/serving — no optimizer state, no abstract target needed.
+
+    Orbax restores the saved TrainState as plain nested dicts when no
+    target is given; we extract the two collections the forward pass needs.
+    `model_cfg` is accepted (and ignored) so callers can keep a uniform
+    signature; restored shapes are whatever was trained.
+    """
+    import orbax.checkpoint as ocp
+    directory = os.path.abspath(directory)
+    mgr = _manager(directory)
+    target_step = step if step is not None else mgr.latest_step()
+    if target_step is None:
+        mgr.close()
+        raise FileNotFoundError(f"no checkpoint found under {directory}")
+    restored = mgr.restore(target_step, args=ocp.args.StandardRestore())
+    mgr.close()
+    return {"params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {})}
+
+
 def latest_step(directory: str) -> Optional[int]:
     import orbax.checkpoint as ocp
     directory = os.path.abspath(directory)

@@ -1,0 +1,168 @@
+"""Audio-domain reconstruction + serving-path tests.
+
+Covers the tier the reference lacks entirely (it stops at magnitude masks,
+reference model.py:210-220): complex STFT consistency, least-squares iSTFT
+round-trip, mixture-phase masked reconstruction, waveform SI-SNR, and the
+batched Separator serving API (padding-exactness, bucket cache, waveform
+end-to-end).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from av_separation_tpu.config import DataConfig, ModelConfig
+from av_separation_tpu.models.model import AVSeparationTransformer
+from av_separation_tpu.ops.istft import (
+    istft_overlap_add,
+    masked_istft,
+    permutation_si_snr_waveform,
+    si_snr_waveform,
+    stft_complex,
+)
+from av_separation_tpu.ops.stft import stft_magnitude
+
+N_FFT, HOP, N_AUDIO = 512, 128, 8000
+
+
+def _audio(seed=0, b=2, n=N_AUDIO):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 1.0, n, endpoint=False)
+    freqs = rng.uniform(100, 1000, size=(b, 1))
+    return (np.sin(2 * np.pi * freqs * t[None])
+            + 0.1 * rng.normal(size=(b, n))).astype(np.float32)
+
+
+class TestComplexSTFT:
+    def test_magnitude_consistency(self):
+        """sqrt(re^2+im^2) from stft_complex == stft_magnitude."""
+        audio = jnp.asarray(_audio())
+        re, im = stft_complex(audio, N_FFT, HOP)
+        mag = stft_magnitude(audio, N_FFT, HOP)
+        np.testing.assert_allclose(np.sqrt(re**2 + im**2), mag,
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_matches_numpy_rfft(self):
+        """re/im match np.fft.rfft of the windowed frames."""
+        audio = _audio(b=1)[0]
+        re, im = stft_complex(jnp.asarray(audio), N_FFT, HOP)
+        window = np.hanning(N_FFT)
+        num_frames = 1 + N_AUDIO // HOP
+        pad = (num_frames - 1) * HOP + N_FFT - N_AUDIO
+        padded = np.concatenate([audio, np.zeros(pad, np.float32)])
+        idx = (np.arange(num_frames)[:, None] * HOP
+               + np.arange(N_FFT)[None, :])
+        spec = np.fft.rfft(padded[idx] * window, axis=-1)  # (T, F)
+        np.testing.assert_allclose(re, spec.real.T, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(im, spec.imag.T, rtol=1e-4, atol=1e-3)
+
+
+class TestISTFT:
+    def test_round_trip(self):
+        """iSTFT(STFT(x)) == x for a consistent spectrogram (exact LSEE
+        identity wherever the summed squared window is nonzero)."""
+        audio = _audio(b=3)
+        re, im = stft_complex(jnp.asarray(audio), N_FFT, HOP)
+        rec = np.asarray(istft_overlap_add(re, im, N_FFT, HOP, N_AUDIO))
+        # The first few samples have near-zero symmetric-Hann weight
+        # (exactly 0 at n=0) — the LSEE identity holds from ~n=4 on.
+        np.testing.assert_allclose(rec[:, 4:], audio[:, 4:], atol=2e-4)
+
+    def test_all_ones_mask_recovers_mixture(self):
+        """masks == 1 -> every 'speaker' waveform is the mixture itself."""
+        audio = _audio(b=2)
+        t = 1 + N_AUDIO // HOP
+        masks = jnp.ones((2, 2, N_FFT // 2 + 1, t), jnp.float32)
+        waves = np.asarray(masked_istft(masks, jnp.asarray(audio),
+                                        N_FFT, HOP))
+        assert waves.shape == (2, 2, N_AUDIO)
+        for s in range(2):
+            np.testing.assert_allclose(waves[:, s, 4:], audio[:, 4:],
+                                       atol=5e-4)
+
+    def test_oracle_mask_separates(self):
+        """Wiener-like oracle masks on a 2-sine mixture give > 10 dB
+        waveform SI-SNR for both sources (validates the phase handling)."""
+        t_ax = np.linspace(0.0, 1.0, N_AUDIO, endpoint=False)
+        s1 = np.sin(2 * np.pi * 220.0 * t_ax).astype(np.float32)
+        s2 = np.sin(2 * np.pi * 1780.0 * t_ax).astype(np.float32)
+        mixed = (s1 + s2)[None]
+        targets = np.stack([s1, s2])[None]  # (1, 2, N)
+        spec_1 = stft_magnitude(jnp.asarray(s1)[None], N_FFT, HOP)
+        spec_2 = stft_magnitude(jnp.asarray(s2)[None], N_FFT, HOP)
+        tot = spec_1 + spec_2 + 1e-8
+        masks = jnp.stack([spec_1 / tot, spec_2 / tot], axis=1)  # (1,2,F,T)
+        waves = masked_istft(masks, jnp.asarray(mixed), N_FFT, HOP)
+        snr = np.asarray(si_snr_waveform(waves[:, :, 1:],
+                                         jnp.asarray(targets)[:, :, 1:]))
+        assert (snr > 10.0).all(), snr
+
+
+class TestWaveformSISNR:
+    def test_identity_high(self):
+        x = jnp.asarray(_audio(b=2))
+        assert (np.asarray(si_snr_waveform(x, x)) > 50.0).all()
+
+    def test_scale_invariant(self):
+        x = jnp.asarray(_audio(b=2))
+        noisy = x + 0.1 * jnp.asarray(_audio(seed=9))
+        a = si_snr_waveform(0.3 * noisy, x)
+        b = si_snr_waveform(2.5 * noisy, x)
+        np.testing.assert_allclose(a, b, atol=1e-2)
+
+    def test_permutation_picks_best(self):
+        x = jnp.asarray(_audio(seed=3, b=1))
+        y = jnp.asarray(_audio(seed=4, b=1))
+        ests = jnp.stack([y, x], axis=1)     # swapped order
+        targets = jnp.stack([x, y], axis=1)
+        best = np.asarray(permutation_si_snr_waveform(ests, targets))
+        assert (best > 50.0).all()
+
+
+class TestSeparator:
+    @pytest.fixture(scope="class")
+    def sep(self):
+        from av_separation_tpu.inference import Separator
+        import jax
+        cfg = ModelConfig(freq_bins=257, d_model=32, nhead=2,
+                          num_encoder_layers=1, num_fusion_layers=1,
+                          num_speakers=2, dropout=0.0)
+        data = DataConfig(num_samples=4)
+        model = AVSeparationTransformer(cfg)
+        mixed = jnp.zeros((1, 257, data.num_stft_frames))
+        frames = jnp.zeros((1, data.total_lip_frames, 32, 32))
+        variables = model.init(jax.random.PRNGKey(0), mixed, frames)
+        return Separator(cfg, dict(variables), data)
+
+    def test_batch_padding_exact(self, sep):
+        """Odd batch sizes (padded to a bucket) return identical results to
+        a direct full-batch call — padding never leaks across items."""
+        from av_separation_tpu.data.synthetic import SyntheticAVDataset
+        ds = SyntheticAVDataset(sep.data_cfg)
+        batch = ds.materialize()
+        sep3, masks3 = sep.separate(batch["mixed_spec"][:3],
+                                    batch["lip_frames"][:3])
+        sep4, masks4 = sep.separate(batch["mixed_spec"],
+                                    batch["lip_frames"])
+        assert sep3.shape[0] == 3 and masks3.shape[0] == 3
+        np.testing.assert_allclose(sep3, sep4[:3], rtol=1e-5, atol=1e-5)
+        # both calls bucket to 4 -> one cached executable shape
+        keys = [k for k in sep.compile_cache_info if k[0] == "spec"]
+        assert len(keys) == 1 and keys[0][1] == 4
+
+    def test_waveform_end_to_end(self, sep):
+        """Raw mixture audio in -> per-speaker waveforms out, with the
+        returned mixed_spec matching the host STFT."""
+        from av_separation_tpu.data.synthetic import SyntheticAVDataset
+        ds = SyntheticAVDataset(sep.data_cfg)
+        audios0, _ = ds.clean_audios(0)
+        audios1, _ = ds.clean_audios(1)
+        mixed = np.stack([audios0.sum(0), audios1.sum(0)])
+        lips = np.stack([ds[0]["lip_frames"], ds[1]["lip_frames"]])
+        out = sep.separate_waveform(mixed, lips)
+        n = sep.data_cfg.num_samples_audio
+        assert out["waveforms"].shape == (2, 2, n)
+        assert np.isfinite(out["waveforms"]).all()
+        host_spec = np.stack([ds[0]["mixed_spec"], ds[1]["mixed_spec"]])
+        np.testing.assert_allclose(out["mixed_spec"], host_spec,
+                                   rtol=1e-3, atol=1e-3)
