@@ -31,10 +31,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--pit", choices=("global", "per_sample"), default=None)
-    p.add_argument("--data", choices=("host", "device", "native"),
+    p.add_argument("--data", choices=("host", "device", "native", "files"),
                    default=None,
                    help="batch pipeline: host NumPy generator, on-device "
-                        "JAX generator, or the native C++ engine")
+                        "JAX generator, the native C++ engine, or a "
+                        "file-backed corpus (--data-root)")
+    p.add_argument("--data-root", default=None,
+                   help="corpus directory for --data files")
+    p.add_argument("--dynamic-mix", action="store_true",
+                   help="on-the-fly speaker remixing for --data files")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
@@ -62,10 +67,13 @@ def _build_config(args):
     for field, attr in (("batch_size", "batch"), ("steps", "steps"),
                         ("checkpoint_dir", "checkpoint_dir"),
                         ("checkpoint_every", "checkpoint_every"),
-                        ("data_pipeline", "data"), ("seed", "seed")):
+                        ("data_pipeline", "data"), ("data_root", "data_root"),
+                        ("seed", "seed")):
         v = getattr(args, attr)
         if v is not None:
             train_kw[field] = v
+    if args.dynamic_mix:
+        train_kw["dynamic_mix"] = True
     if train_kw:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **train_kw))
@@ -103,6 +111,16 @@ def _batches(cfg):
             device_batch_iterator)
         return device_batch_iterator(cfg.data, cfg.train.batch_size,
                                      seed=cfg.train.seed)
+    if cfg.train.data_pipeline == "files":
+        from av_separation_tpu.data.files import (
+            FileAVDataset, PrefetchIterator)
+        if not cfg.train.data_root:
+            sys.exit("avsep: --data files requires --data-root")
+        ds = FileAVDataset(cfg.train.data_root, cfg.data,
+                           dynamic_mix=cfg.train.dynamic_mix,
+                           seed=cfg.train.seed)
+        return PrefetchIterator(ds, cfg.train.batch_size,
+                                seed=cfg.train.seed)
     if cfg.train.data_pipeline == "native":
         from av_separation_tpu.data.native_loader import NativeBatchIterator
         return NativeBatchIterator(cfg.data, cfg.train.batch_size,

@@ -134,8 +134,12 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # 0 = disabled
     # Data pipeline: 'host' generates batches with the bit-matching NumPy
-    # generator; 'device' generates the same distribution fully on-device.
+    # generator; 'device' generates the same distribution fully on-device;
+    # 'native' uses the threaded C++ engine; 'files' reads a file-backed
+    # corpus (LRS2-style) from `data_root` with background prefetch.
     data_pipeline: str = "host"
+    data_root: Optional[str] = None
+    dynamic_mix: bool = False
 
 
 @dataclass(frozen=True)
