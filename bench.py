@@ -31,7 +31,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="demo")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--impl", default=None,
                     help="kernel impl override: xla | pallas")
     ap.add_argument("--dtype", default="bfloat16",
