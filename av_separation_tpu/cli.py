@@ -45,6 +45,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the training loop")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--fused", action="store_true",
+                   help="scan-fused training: on-device data generation + K "
+                        "steps per XLA dispatch (the bench-class fast path), "
+                        "with host sync between segments for logging, eval "
+                        "and checkpointing")
+    p.add_argument("--eval-every", type=int, default=None,
+                   help="run the SNR eval every N steps (between fused "
+                        "segments when --fused)")
 
 
 def _build_config(args):
@@ -131,6 +139,29 @@ def _batches(cfg):
     return batch_iterator(ds, cfg.train.batch_size, seed=cfg.train.seed)
 
 
+def _eval_runner(cfg, model):
+    """Lazily-built SNR eval over 20 deterministic host samples; returns a
+    closure (state) -> metrics dict."""
+    import jax.numpy as jnp
+
+    from av_separation_tpu.data.loader import eval_batch
+    from av_separation_tpu.data.synthetic import SyntheticAVDataset
+    from av_separation_tpu.train import make_eval_step
+
+    ds = SyntheticAVDataset(cfg.data)
+    batch = {k: jnp.asarray(v) for k, v in eval_batch(ds, 20).items()}
+    eval_fn = make_eval_step(model)
+
+    def run(state):
+        m = eval_fn(state.params, state.batch_stats, batch)
+        out = {k: round(float(v), 4) for k, v in m.items()}
+        out["snr_improvement_db"] = round(
+            float(m["output_snr"]) - float(m["input_snr"]), 4)
+        return out
+
+    return run
+
+
 def cmd_train(args) -> int:
     _force_cpu_if(args)
     import contextlib
@@ -138,8 +169,7 @@ def cmd_train(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from av_separation_tpu.train import (
-        create_train_state, make_eval_step, make_train_step)
+    from av_separation_tpu.train import create_train_state, make_train_step
     from av_separation_tpu.utils.profiling import (
         Timer, step_metrics_line, trace)
 
@@ -159,38 +189,48 @@ def cmd_train(args) -> int:
         if start_step:
             print(f"resumed from step {start_step}", file=sys.stderr)
 
-    step_fn = make_train_step(model, cfg, mesh)
-    batches = _batches(cfg)
+    evaluate = _eval_runner(cfg, model) if args.eval_every else None
     ctx = trace(args.profile_dir) if args.profile_dir \
         else contextlib.nullcontext()
-    timer = Timer()
-    with ctx, (mesh or contextlib.nullcontext()):
-        for i in range(start_step, cfg.train.steps):
-            batch = next(batches)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            state, metrics = step_fn(state, batch)
-            if cfg.train.log_every and (i + 1) % cfg.train.log_every == 0:
-                dt = timer.elapsed(metrics["loss"])
-                audio_s = ((i + 1 - start_step) * cfg.train.batch_size
-                           * cfg.data.duration)
-                print(step_metrics_line(
-                    i + 1, metrics,
-                    {"audio_s_per_s": round(audio_s / dt, 2)}))
-            if (cfg.train.checkpoint_dir and cfg.train.checkpoint_every
-                    and (i + 1) % cfg.train.checkpoint_every == 0):
-                from av_separation_tpu.utils.checkpoint import save_checkpoint
-                save_checkpoint(cfg.train.checkpoint_dir, i + 1, state)
 
-    if cfg.train.steps > start_step:
-        # Always end with a summary line, even when steps < log_every.
-        dt = timer.elapsed(metrics["loss"])
-        audio_s = ((cfg.train.steps - start_step) * cfg.train.batch_size
-                   * cfg.data.duration)
-        print(json.dumps({
-            "final_step": cfg.train.steps,
-            "loss": round(float(metrics["loss"]), 4),
-            "audio_s_per_s": round(audio_s / max(dt, 1e-9), 2),
-        }))
+    with ctx, (mesh or contextlib.nullcontext()):
+        if args.fused:
+            state, metrics = _fused_train(args, cfg, mesh, model, state,
+                                          start_step, evaluate)
+        else:
+            step_fn = make_train_step(model, cfg, mesh)
+            batches = _batches(cfg)
+            timer = Timer()
+            for i in range(start_step, cfg.train.steps):
+                batch = next(batches)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, metrics = step_fn(state, batch)
+                if cfg.train.log_every and (i + 1) % cfg.train.log_every == 0:
+                    dt = timer.elapsed(metrics["loss"])
+                    audio_s = ((i + 1 - start_step) * cfg.train.batch_size
+                               * cfg.data.duration)
+                    print(step_metrics_line(
+                        i + 1, metrics,
+                        {"audio_s_per_s": round(audio_s / dt, 2)}))
+                if evaluate and (i + 1) % args.eval_every == 0:
+                    print(step_metrics_line(i + 1, evaluate(state)))
+                if (cfg.train.checkpoint_dir and cfg.train.checkpoint_every
+                        and (i + 1) % cfg.train.checkpoint_every == 0):
+                    from av_separation_tpu.utils.checkpoint import (
+                        save_checkpoint)
+                    save_checkpoint(cfg.train.checkpoint_dir, i + 1, state)
+
+            if cfg.train.steps > start_step:
+                # Always end with a summary line, even when
+                # steps < log_every.
+                dt = timer.elapsed(metrics["loss"])
+                audio_s = ((cfg.train.steps - start_step)
+                           * cfg.train.batch_size * cfg.data.duration)
+                print(json.dumps({
+                    "final_step": cfg.train.steps,
+                    "loss": round(float(metrics["loss"]), 4),
+                    "audio_s_per_s": round(audio_s / max(dt, 1e-9), 2),
+                }))
 
     if cfg.train.checkpoint_dir:
         from av_separation_tpu.utils.checkpoint import save_checkpoint
@@ -198,6 +238,64 @@ def cmd_train(args) -> int:
                         wait=True)
         print(f"saved checkpoint at step {int(state.step)}", file=sys.stderr)
     return 0
+
+
+def _fused_train(args, cfg, mesh, model, state, start_step, evaluate):
+    """Scan-fused training: K steps per XLA dispatch with on-device data
+    generation (train.py make_fused_train_steps — the path that makes
+    bench.py's throughput), syncing with the host only at segment
+    boundaries for logging/eval/async checkpointing."""
+    import math
+
+    from av_separation_tpu.train import make_fused_train_steps
+    from av_separation_tpu.utils.profiling import Timer, step_metrics_line
+
+    # Segment length: the largest stride that still hits every log/eval/
+    # checkpoint boundary exactly.
+    seg = cfg.train.log_every or 20
+    for every in (cfg.train.checkpoint_every, args.eval_every):
+        if every:
+            seg = math.gcd(seg, every)
+
+    fused_cache = {}
+
+    def fused_for(k):
+        if k not in fused_cache:
+            fused_cache[k] = make_fused_train_steps(model, cfg, k, mesh)
+        return fused_cache[k]
+
+    step = start_step
+    timer = Timer()
+    metrics = {"loss": float("nan")}
+    while step < cfg.train.steps:
+        k = min(seg, cfg.train.steps - step)
+        state, loss = fused_for(k)(state)
+        step += k
+        metrics = {"loss": loss}
+        if cfg.train.log_every and step % cfg.train.log_every == 0:
+            dt = timer.elapsed(loss)  # host sync point
+            audio_s = (step - start_step) * cfg.train.batch_size \
+                * cfg.data.duration
+            print(step_metrics_line(
+                step, metrics, {"audio_s_per_s": round(audio_s / dt, 2),
+                                "fused_segment": k}))
+        if evaluate and args.eval_every and step % args.eval_every == 0:
+            print(step_metrics_line(step, evaluate(state)))
+        if (cfg.train.checkpoint_dir and cfg.train.checkpoint_every
+                and step % cfg.train.checkpoint_every == 0):
+            from av_separation_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(cfg.train.checkpoint_dir, step, state)
+
+    if step > start_step:
+        dt = timer.elapsed(metrics["loss"])
+        audio_s = (step - start_step) * cfg.train.batch_size \
+            * cfg.data.duration
+        print(json.dumps({
+            "final_step": step,
+            "loss": round(float(metrics["loss"]), 4),
+            "audio_s_per_s": round(audio_s / max(dt, 1e-9), 2),
+        }))
+    return state, metrics
 
 
 def cmd_eval(args) -> int:

@@ -21,6 +21,7 @@ import threading
 from typing import Optional
 
 import jax
+import numpy as np
 
 from av_separation_tpu.config import MeshConfig
 from av_separation_tpu.parallel.mesh import make_mesh
@@ -61,13 +62,27 @@ def global_mesh(cfg: MeshConfig):
 
 def barrier(timeout_s: float = 60.0) -> None:
     """All-device barrier with timeout: a lost/hung host raises instead of
-    deadlocking the job forever."""
+    deadlocking the job forever.
+
+    Implemented as a jitted psum over a 1-axis mesh spanning every device in
+    the job (GSPMD inserts the cross-host all-reduce); the collective runs in
+    a side thread so a lost host surfaces as TimeoutError instead of a hang.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
     result = {}
 
     def run():
-        x = jax.numpy.ones((jax.local_device_count(),))
-        result["sum"] = float(jax.pmap(
-            lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)[0])
+        # No-input shard_map: each device contributes ones(()) and the psum
+        # is the only collective — safe in multi-process mode (no host array
+        # needs placing on non-addressable devices).
+        mesh = Mesh(np.asarray(jax.devices()), ("all",))
+        f = jax.jit(shard_map(
+            lambda: jax.lax.psum(jnp.ones(()), "all"),
+            mesh=mesh, in_specs=(), out_specs=P()))
+        result["sum"] = float(f())
 
     t = threading.Thread(target=run, daemon=True)
     t.start()

@@ -15,11 +15,10 @@ over a ('data','model') mesh:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -193,6 +192,13 @@ def make_fused_train_steps(model: AVSeparationTransformer,
             jax.random.key(cfg.train.seed + 17, impl=cfg.train.rng_impl),
             state.step)
         batch = generate_batch(key, data_cfg, batch_size)
+        if mesh is not None:
+            # Pin the on-device batch to the DP axis so the whole scan body
+            # runs data-parallel (the generator itself is elementwise over
+            # batch, so GSPMD shards it for free given this constraint).
+            spec = NamedSharding(mesh, P("data"))
+            batch = {k: jax.lax.with_sharding_constraint(v, spec)
+                     for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         return state, metrics["loss"]
 
@@ -223,23 +229,3 @@ def make_eval_step(model: AVSeparationTransformer) -> Callable:
         }
 
     return eval_fn
-
-
-def train_loop(cfg: ExperimentConfig, batches: Iterator[Dict[str, np.ndarray]],
-               mesh: Optional[Mesh] = None, log: Callable = print,
-               state: Optional[TrainState] = None,
-               ) -> Tuple[AVSeparationTransformer, TrainState]:
-    """Run cfg.train.steps update steps over `batches`."""
-    model, init_state = create_train_state(cfg, mesh)
-    if state is None:
-        state = init_state
-    step_fn = make_train_step(model, cfg, mesh)
-    for i, batch in enumerate(batches):
-        if i >= cfg.train.steps:
-            break
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        state, metrics = step_fn(state, batch)
-        if cfg.train.log_every and (i + 1) % cfg.train.log_every == 0:
-            log(f"step {i + 1:4d}  loss {float(metrics['loss']):+.4f}  "
-                f"grad_norm {float(metrics['grad_norm']):.3f}")
-    return model, state

@@ -6,36 +6,80 @@ Saves the full sharded TrainState pytree (params + BatchNorm stats + Adam
 state + step + RNG) asynchronously; on restore, arrays land back on their
 recorded shardings (single-chip states restore fine on a mesh and vice versa
 via the abstract-target API).
+
+One `CheckpointManager` is kept alive per directory for the life of the
+process: the async save thread it owns is what lets a mid-training save
+overlap the next steps.  (Building a fresh manager per save and closing it
+immediately would block on the async write — `close()` waits — turning every
+"async" save into a synchronous one.)  Call `wait_until_finished()` /
+`close_all()` only at exit.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
-from typing import Any, Optional
+import threading
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 
+_managers: Dict[Tuple[str, int], Any] = {}
+_managers_lock = threading.Lock()
+
 
 def _manager(directory: str, max_to_keep: int = 3):
+    """Return the process-wide CheckpointManager for `directory` (created on
+    first use, kept open so async saves actually overlap training)."""
     import orbax.checkpoint as ocp
-    return ocp.CheckpointManager(
-        directory,
-        options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True),
-    )
+    key = (os.path.abspath(directory), max_to_keep)
+    with _managers_lock:
+        mgr = _managers.get(key)
+        if mgr is None:
+            mgr = ocp.CheckpointManager(
+                key[0],
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=max_to_keep, create=True,
+                    enable_async_checkpointing=True),
+            )
+            _managers[key] = mgr
+        return mgr
+
+
+def close_all() -> None:
+    """Flush and close every open manager (called automatically at exit)."""
+    with _managers_lock:
+        for mgr in _managers.values():
+            try:
+                mgr.wait_until_finished()
+                mgr.close()
+            except Exception:
+                pass
+        _managers.clear()
+
+
+atexit.register(close_all)
 
 
 def save_checkpoint(directory: str, step: int, state: Any,
                     max_to_keep: int = 3, wait: bool = False) -> None:
-    """Async-save `state` under `directory/<step>`. Set wait=True to block
-    (e.g. final save before exit)."""
+    """Async-save `state` under `directory/<step>`; returns as soon as the
+    on-device arrays are snapshotted so training continues while the write
+    completes in the background.  Set wait=True to block (final save)."""
     import orbax.checkpoint as ocp
-    directory = os.path.abspath(directory)
     mgr = _manager(directory, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave(state))
     if wait:
         mgr.wait_until_finished()
-    mgr.close()
+
+
+def wait_until_finished(directory: str) -> None:
+    """Block until any in-flight async save for `directory` has landed."""
+    key = (os.path.abspath(directory), 3)
+    with _managers_lock:
+        for (d, _), mgr in _managers.items():
+            if d == key[0]:
+                mgr.wait_until_finished()
 
 
 def restore_checkpoint(directory: str, state: Any,
@@ -48,15 +92,12 @@ def restore_checkpoint(directory: str, state: Any,
     if not os.path.isdir(directory):
         return state
     mgr = _manager(directory)
+    mgr.wait_until_finished()
     target_step = step if step is not None else mgr.latest_step()
     if target_step is None:
-        mgr.close()
         return state
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
-    restored = mgr.restore(target_step,
-                           args=ocp.args.StandardRestore(abstract))
-    mgr.close()
-    return restored
+    return mgr.restore(target_step, args=ocp.args.StandardRestore(abstract))
 
 
 def restore_variables(directory: str, model_cfg: Any = None,
@@ -70,24 +111,19 @@ def restore_variables(directory: str, model_cfg: Any = None,
     signature; restored shapes are whatever was trained.
     """
     import orbax.checkpoint as ocp
-    directory = os.path.abspath(directory)
     mgr = _manager(directory)
+    mgr.wait_until_finished()
     target_step = step if step is not None else mgr.latest_step()
     if target_step is None:
-        mgr.close()
         raise FileNotFoundError(f"no checkpoint found under {directory}")
     restored = mgr.restore(target_step, args=ocp.args.StandardRestore())
-    mgr.close()
     return {"params": restored["params"],
             "batch_stats": restored.get("batch_stats", {})}
 
 
 def latest_step(directory: str) -> Optional[int]:
-    import orbax.checkpoint as ocp
     directory = os.path.abspath(directory)
     if not os.path.isdir(directory):
         return None
     mgr = _manager(directory)
-    step = mgr.latest_step()
-    mgr.close()
-    return step
+    return mgr.latest_step()

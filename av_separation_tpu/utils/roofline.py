@@ -31,12 +31,14 @@ def model_forward_flops(cfg: ExperimentConfig) -> float:
     s = m.num_speakers
 
     def attn_block(seq_q, seq_kv):
-        proj = 4 * seq_q * d * d  # q + out on seq_q; k + v priced below
-        proj += 0  # (k/v priced via seq_kv)
-        kv = 2 * seq_kv * d * d
-        scores = seq_q * seq_kv * d * 2  # QK^T + PV
-        ffn = seq_q * d * 4 * d * 2
-        return 2 * (proj + kv + scores + ffn)  # MAC -> FLOP
+        """MACs of one pre-norm attention block: q/out projections run over
+        seq_q rows, k/v over seq_kv rows, QK^T + PV score matmuls, and the
+        4*d FFN.  Doubled at the end for MAC -> FLOP."""
+        proj = 2 * seq_q * d * d        # q and out projections
+        kv = 2 * seq_kv * d * d         # k and v projections
+        scores = 2 * seq_q * seq_kv * d  # QK^T + PV
+        ffn = 2 * seq_q * d * 4 * d     # up + down
+        return 2 * (proj + kv + scores + ffn)
 
     total = 0.0
     # Audio input projection: two k=3 convs.

@@ -141,6 +141,42 @@ class TestCheckpoint:
         out = restore_checkpoint(str(tmp_path / "nonexistent"), state)
         assert out is state
 
+    def test_manager_is_persistent_per_directory(self, tmp_path):
+        # The async win depends on one CheckpointManager living for the whole
+        # run: a fresh manager + close() per save would block on the async
+        # write (close waits), serializing every save.
+        pytest.importorskip("orbax.checkpoint")
+        from av_separation_tpu.utils import checkpoint as ckpt
+        a = ckpt._manager(str(tmp_path / "ck"))
+        b = ckpt._manager(str(tmp_path / "ck"))
+        assert a is b
+        c = ckpt._manager(str(tmp_path / "other"))
+        assert c is not a
+
+    def test_async_save_overlaps_training(self, tmp_path):
+        # Save WITHOUT wait, keep training through the donated-state step
+        # (which reuses the saved buffers' memory), then wait and restore:
+        # the restored params must equal the snapshot AT SAVE TIME — proving
+        # save() copied device arrays out synchronously and wrote them in the
+        # background while steps 2..3 ran.
+        pytest.importorskip("orbax.checkpoint")
+        from av_separation_tpu.utils.checkpoint import (
+            restore_checkpoint, save_checkpoint, wait_until_finished)
+        model, state = create_train_state(TINY)
+        step = make_train_step(model, TINY)
+        state, _ = step(state, tiny_batch())
+        snapshot = jax.device_get(state.params)
+        save_checkpoint(str(tmp_path / "ck"), 1, state)  # async, no wait
+        for seed in (1, 2):  # keep training while the write is in flight
+            state, _ = step(state, tiny_batch(seed))
+        wait_until_finished(str(tmp_path / "ck"))
+
+        _, fresh = create_train_state(TINY)
+        restored = restore_checkpoint(str(tmp_path / "ck"), fresh, step=1)
+        for a, b in zip(jax.tree_util.tree_leaves(snapshot),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestEvalStep:
     def test_metrics_contract(self):
