@@ -24,6 +24,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="named config: demo|scaled|three_speaker|lrs2|multihost")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--mesh-data", type=int, default=None)
+    p.add_argument("--mesh-fsdp", type=int, default=None,
+                   help="ZeRO axis: shard params + Adam state over this "
+                        "many devices")
     p.add_argument("--mesh-model", type=int, default=None)
     p.add_argument("--impl", choices=("xla", "pallas"), default=None,
                    help="kernel implementation for attention+decoder")
@@ -90,10 +93,11 @@ def _build_config(args):
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, pit_mode=args.pit))
 
-    if args.mesh_data or args.mesh_model:
+    if args.mesh_data or args.mesh_fsdp or args.mesh_model:
         from av_separation_tpu.config import MeshConfig
         cfg = dataclasses.replace(
             cfg, mesh=MeshConfig(data=args.mesh_data or 1,
+                                 fsdp=args.mesh_fsdp or 1,
                                  model=args.mesh_model or 1))
     return cfg
 

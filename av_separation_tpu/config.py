@@ -109,15 +109,21 @@ class LossConfig:
 class MeshConfig:
     """Device mesh for SPMD execution.  Axes:
     - 'data'  : utterance batches (DP); gradients psum over this axis.
+    - 'fsdp'  : ZeRO-style parameter + optimizer-state sharding.  Params and
+      Adam moments are sharded over this axis and all-gathered at use (XLA
+      inserts the gathers / reduce-scatters from the shardings alone); the
+      batch is additionally sharded over it, so 'fsdp' behaves as a second
+      data axis whose memory footprint scales down with its size.
     - 'model' : tensor-parallel shard of d_model/FFN weight matrices (TP).
     """
 
     data: int = 1
+    fsdp: int = 1
     model: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.model
+        return self.data * self.fsdp * self.model
 
 
 @dataclass(frozen=True)

@@ -146,3 +146,86 @@ class Separator:
             "masks": np.asarray(masks[:b]),
             "mixed_spec": np.asarray(mixed_spec[:b]),
         }
+
+    def separate_waveform_streaming(self, mixed_audio: np.ndarray,
+                                    lip_frames: np.ndarray,
+                                    chunk_s: Optional[float] = None,
+                                    overlap_s: Optional[float] = None
+                                    ) -> Dict[str, np.ndarray]:
+        """Arbitrary-length separation: (B, N_long) mixture + matching lip
+        stream -> (B, S, N_long) waveforms, via fixed-size chunks with
+        overlap-add cross-fade stitching.
+
+        Every chunk has the SAME static shape (the tail is zero-padded), so
+        an hour-long mixture runs through ONE compiled executable instead of
+        recompiling per utterance length — the T-bucketing XLA needs.
+
+        Speaker identity is stable across chunks without any permutation
+        matching: output channel s is conditioned on lip stream s (the model
+        keys each mask on its speaker's visual stream), so channel order is
+        consistent chunk to chunk.
+
+        lip_frames follows the dataset convention (all speakers' streams
+        concatenated on the frame axis: (B, S*N_f, H, W), reference
+        dataset.py:107-114); each chunk takes the matching time-slice from
+        every speaker's stream.
+
+        chunk_s defaults to the training utterance length (the T the model
+        was trained at); overlap_s defaults to chunk_s / 4.  Both round down
+        to whole video frames.  Regions covered by a single chunk (weight 1
+        in the cross-fade) are bit-identical to running that chunk through
+        `separate_waveform` in isolation.
+        """
+        if self.data_cfg is None:
+            raise ValueError("streaming requires data_cfg (STFT geometry)")
+        d = self.data_cfg
+        sr = d.sample_rate
+        spf = d.num_samples_audio // d.num_frames  # samples per video frame
+        chunk = int((chunk_s or d.duration) * sr)
+        chunk -= chunk % spf
+        if chunk <= 0:
+            raise ValueError("chunk_s too small for one video frame")
+        overlap = int((chunk / 4) if overlap_s is None else overlap_s * sr)
+        overlap -= overlap % spf
+        overlap = min(overlap, chunk - spf)
+        stride = chunk - overlap
+
+        mixed_audio = np.asarray(mixed_audio, np.float32)
+        lip_frames = np.asarray(lip_frames, np.float32)
+        b, n = mixed_audio.shape
+        s = self.cfg.num_speakers
+        h, w = lip_frames.shape[-2:]
+        n_f = lip_frames.shape[1] // s
+        lips = lip_frames.reshape(b, s, n_f, h, w)
+
+        n_chunks = max(1, -(-(n - overlap) // stride))
+        padded_n = (n_chunks - 1) * stride + chunk
+        audio_p = np.pad(mixed_audio, ((0, 0), (0, padded_n - n)))
+        pad_f = padded_n // spf - n_f
+        if pad_f > 0:
+            lips = np.pad(lips, ((0, 0), (0, 0), (0, pad_f), (0, 0), (0, 0)))
+
+        # Cross-fade window: linear ramps over the overlap on both edges.
+        # Every sample's weights sum over chunks to 1 after normalization
+        # (edges of the first/last chunk are renormalized by wsum).
+        win = np.ones(chunk, np.float32)
+        if overlap:
+            ramp = (np.arange(overlap, dtype=np.float32) + 1.0) / (overlap + 1)
+            win[:overlap] = ramp
+            win[-overlap:] = ramp[::-1]
+
+        out = np.zeros((b, s, padded_n), np.float32)
+        wsum = np.zeros(padded_n, np.float32)
+        fpc = chunk // spf  # video frames per chunk
+        for k in range(n_chunks):
+            a0 = k * stride
+            f0 = a0 // spf
+            a = audio_p[:, a0:a0 + chunk]
+            fr = lips[:, :, f0:f0 + fpc].reshape(b, s * fpc, h, w)
+            waves, _, _ = self._wave_fn(self.variables, a, fr,
+                                        d.n_fft, d.hop_length)
+            out[:, :, a0:a0 + chunk] += np.asarray(waves) * win
+            wsum[a0:a0 + chunk] += win
+        out /= np.maximum(wsum, 1e-8)
+        return {"waveforms": out[:, :, :n],
+                "num_chunks": np.int32(n_chunks)}

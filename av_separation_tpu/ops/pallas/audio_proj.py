@@ -112,8 +112,12 @@ def _fwd_rule(x, w1, b1, w2, b2):
 
 def _bwd_rule(res, g):
     x, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(_xla_reference, x, w1, b1, w2, b2)
-    return vjp(g)
+    out, vjp = jax.vjp(_xla_reference, x, w1, b1, w2, b2)
+    # Mixed precision: the Pallas forward emits x.dtype (bf16) while the XLA
+    # reference graph promotes to f32 via the f32 biases — align the
+    # cotangent with the reference graph's output dtype (jax.vjp itself
+    # returns input-dtype cotangents, so no cast is needed on the way out).
+    return vjp(g.astype(out.dtype))
 
 
 fused_audio_projection.defvjp(_fwd_rule, _bwd_rule)

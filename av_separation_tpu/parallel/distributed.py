@@ -60,6 +60,26 @@ def global_mesh(cfg: MeshConfig):
     return make_mesh(cfg, devices=jax.devices())
 
 
+def host_local_batch_to_global(local_batch, mesh):
+    """Assemble per-process host arrays into global jax.Arrays sharded over
+    the mesh's data axes.
+
+    Each process passes ONLY its local rows (global_batch / process_count);
+    `jax.make_array_from_process_local_data` stitches them into one global
+    array without any cross-host transfer — the standard multi-host input
+    pipeline (each host feeds the shard its own devices own).  Works
+    unchanged in single-process mode.
+    """
+    from jax.sharding import NamedSharding
+
+    from av_separation_tpu.parallel.mesh import BATCH_SPEC
+
+    sharding = NamedSharding(mesh, BATCH_SPEC)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch)
+
+
 def barrier(timeout_s: float = 60.0) -> None:
     """All-device barrier with timeout: a lost/hung host raises instead of
     deadlocking the job forever.

@@ -164,7 +164,8 @@ def make_train_step(model: AVSeparationTransformer, cfg: ExperimentConfig,
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    batch_spec = {k: NamedSharding(mesh, P("data"))
+    from av_separation_tpu.parallel.mesh import BATCH_SPEC
+    batch_spec = {k: NamedSharding(mesh, BATCH_SPEC)
                   for k in ("mixed_spec", "lip_frames", "clean_specs")}
     return jax.jit(step_fn, donate_argnums=(0,),
                    in_shardings=(None, batch_spec))
@@ -193,10 +194,11 @@ def make_fused_train_steps(model: AVSeparationTransformer,
             state.step)
         batch = generate_batch(key, data_cfg, batch_size)
         if mesh is not None:
-            # Pin the on-device batch to the DP axis so the whole scan body
+            # Pin the on-device batch to the DP axes so the whole scan body
             # runs data-parallel (the generator itself is elementwise over
             # batch, so GSPMD shards it for free given this constraint).
-            spec = NamedSharding(mesh, P("data"))
+            from av_separation_tpu.parallel.mesh import BATCH_SPEC
+            spec = NamedSharding(mesh, BATCH_SPEC)
             batch = {k: jax.lax.with_sharding_constraint(v, spec)
                      for k, v in batch.items()}
         state, metrics = step_fn(state, batch)

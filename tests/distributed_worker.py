@@ -1,0 +1,108 @@
+"""Subprocess worker for the multi-process distributed tests
+(tests/test_distributed.py spawns 2 of these over a localhost coordinator).
+
+Roles:
+  train     — join the job, build a global DP mesh over all processes'
+              devices, run ONE tiny train step on a host-sharded batch,
+              print the loss (both workers must print the same value).
+  die       — sync once on the barrier, then exit immediately (the injected
+              fault).
+  survivor  — sync once, then call barrier() again: with its peer dead the
+              collective can never complete, and the timeout/error path must
+              fire (prints FAILURE_DETECTED).
+"""
+import os
+import sys
+
+
+def main() -> int:
+    role, coord, pid, nproc = (sys.argv[1], sys.argv[2], int(sys.argv[3]),
+                               int(sys.argv[4]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from av_separation_tpu.parallel.distributed import barrier, initialize
+    initialize(coordinator_address=coord, num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+
+    if role == "train":
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from av_separation_tpu.config import (
+            DataConfig, ExperimentConfig, MeshConfig, ModelConfig,
+            TrainConfig)
+        from av_separation_tpu.parallel.distributed import (
+            global_mesh, host_local_batch_to_global)
+        from av_separation_tpu.train import create_train_state, \
+            make_train_step
+
+        n_dev = jax.device_count()
+        cfg = ExperimentConfig(
+            name="mp",
+            model=ModelConfig(freq_bins=65, d_model=32, nhead=2,
+                              num_encoder_layers=1, num_fusion_layers=1,
+                              num_speakers=2, dropout=0.0),
+            data=DataConfig(num_samples=8, sample_rate=2048, duration=1.0,
+                            n_fft=128, hop_length=128, num_frames=5,
+                            frame_h=16, frame_w=16),
+            mesh=MeshConfig(data=n_dev),
+            train=TrainConfig(batch_size=n_dev, steps=1),
+        )
+        mesh = global_mesh(cfg.mesh)
+        model, state = create_train_state(cfg, mesh)
+        step_fn = make_train_step(model, cfg, mesh)
+
+        # Host-sharded data: each process generates ONLY its local rows
+        # (deterministic — same global batch regardless of process count).
+        d = cfg.data
+        local_b = cfg.train.batch_size // nproc
+        rng = np.random.default_rng(1234 + pid)  # per-process stream
+        local = {
+            "mixed_spec": np.abs(rng.normal(
+                size=(local_b, d.freq_bins, d.num_stft_frames))
+            ).astype(np.float32),
+            "lip_frames": rng.uniform(
+                size=(local_b, d.total_lip_frames, d.frame_h, d.frame_w)
+            ).astype(np.float32),
+            "clean_specs": np.abs(rng.normal(
+                size=(local_b, 2, d.freq_bins, d.num_stft_frames))
+            ).astype(np.float32),
+        }
+        batch = host_local_batch_to_global(local, mesh)
+        with mesh:
+            state, metrics = step_fn(state, batch)
+        # Fetch the (replicated) loss — identical on every process.
+        loss = float(jax.device_get(metrics["loss"]))
+        print(f"LOSS {loss:.6f}", flush=True)
+        barrier(timeout_s=60.0)
+        return 0
+
+    if role == "die":
+        barrier(timeout_s=60.0)  # sync with the survivor first
+        os._exit(0)  # hard exit: no shutdown handshake (the injected fault)
+
+    if role == "survivor":
+        barrier(timeout_s=60.0)  # sync: peer is alive here
+        import time
+        time.sleep(1.0)  # let the peer die
+        try:
+            barrier(timeout_s=10.0)
+        except TimeoutError:
+            print("FAILURE_DETECTED timeout", flush=True)
+            os._exit(0)  # skip jax.distributed's shutdown handshake: the
+            #              peer is dead, the exit barrier would fatal-abort
+        except Exception as e:  # distributed runtime may error out instead
+            print(f"FAILURE_DETECTED {type(e).__name__}", flush=True)
+            os._exit(0)
+        print("BARRIER_UNEXPECTEDLY_PASSED", flush=True)
+        return 1
+
+    raise SystemExit(f"unknown role {role}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -166,3 +166,35 @@ class TestSeparator:
         host_spec = np.stack([ds[0]["mixed_spec"], ds[1]["mixed_spec"]])
         np.testing.assert_allclose(out["mixed_spec"], host_spec,
                                    rtol=1e-3, atol=1e-3)
+
+    def test_streaming_long_mixture(self, sep):
+        """A 3.2 s mixture (3.2x the training length) separates through
+        fixed-shape chunks: output covers the full length, every chunk hits
+        the SAME compiled shape, and regions covered by a single chunk are
+        bit-consistent with running that chunk in isolation."""
+        d = sep.data_cfg
+        sr = d.sample_rate
+        spf = d.num_samples_audio // d.num_frames  # 320 samples per frame
+        n = int(3.2 * sr)  # 25600 samples = 80 video frames
+        rng = np.random.default_rng(7)
+        mixed = rng.normal(size=(1, n)).astype(np.float32)
+        lips = rng.uniform(size=(1, 2 * (n // spf), 32, 32)).astype(
+            np.float32)
+
+        out = sep.separate_waveform_streaming(mixed, lips)
+        assert out["waveforms"].shape == (1, 2, n)
+        assert np.isfinite(out["waveforms"]).all()
+        assert int(out["num_chunks"]) == 4  # chunk=8000, overlap 1920
+
+        # Interior exactness: chunk k=1 spans samples [6080, 14080); its
+        # weight-1 region [8000, 12160) is covered by no other chunk, so the
+        # stitched output there must equal the isolated chunk output.
+        chunk, overlap, stride = 8000, 1920, 6080
+        a0, f0, fpc = stride, stride // spf, chunk // spf
+        a = mixed[:, a0:a0 + chunk]
+        fr = lips.reshape(1, 2, -1, 32, 32)[:, :, f0:f0 + fpc].reshape(
+            1, 2 * fpc, 32, 32)
+        iso = sep.separate_waveform(a, fr)["waveforms"]
+        np.testing.assert_allclose(
+            out["waveforms"][:, :, a0 + overlap:a0 + chunk - overlap],
+            iso[:, :, overlap:chunk - overlap], rtol=0, atol=1e-6)

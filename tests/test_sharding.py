@@ -43,20 +43,31 @@ def tiny_batch(b=8):
 class TestPartitionRules:
     def test_attention_rules(self):
         assert spec_for_path(
-            "fusion/layer_0/cross_attn/q_proj/kernel") == P(None, "model")
+            "fusion/layer_0/cross_attn/q_proj/kernel") == P("fsdp", "model")
         assert spec_for_path(
-            "fusion/layer_0/cross_attn/out_proj/kernel") == P("model", None)
+            "fusion/layer_0/cross_attn/out_proj/kernel") == P("model", "fsdp")
 
     def test_ffn_rules(self):
         assert spec_for_path(
             "audio_encoder/transformer/layer_1/linear1/kernel"
-        ) == P(None, "model")
-        assert spec_for_path("decoder/fc2/kernel") == P("model", None)
+        ) == P("fsdp", "model")
+        assert spec_for_path("decoder/fc2/kernel") == P("model", "fsdp")
 
     def test_norms_replicated(self):
         assert spec_for_path(
             "fusion/layer_0/norm1/scale") == P()
         assert spec_for_path("visual_encoder/bn1/scale") == P()
+
+    def test_indivisible_dim_dropped_not_whole_spec(self):
+        """conv1 kernel (3, 257, d): 257 can't take 'fsdp', but d keeps
+        'model' — the guard drops per-dim, not the whole spec."""
+        from av_separation_tpu.parallel.mesh import param_shardings
+        mesh = make_mesh(MeshConfig(data=1, fsdp=2, model=4))
+        tree = {"audio_encoder": {"conv1": {
+            "kernel": jnp.zeros((3, 257, 64))}}}
+        sh = param_shardings(mesh, tree)
+        spec = sh["audio_encoder"]["conv1"]["kernel"].spec
+        assert spec == P(None, None, "model")
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
@@ -87,10 +98,45 @@ class TestMeshExecution:
         mesh = make_mesh(cfg.mesh)
         _, state = create_train_state(cfg, mesh)
         k = state.params["fusion"]["layer_0"]["cross_attn"]["q_proj"]["kernel"]
-        assert k.sharding.spec == P(None, "model")
-        # Each device holds 1/4 of the columns.
+        # Each device holds 1/4 of the columns (fsdp axis is size 1 here).
         shard_shape = k.sharding.shard_shape(k.shape)
         assert shard_shape == (k.shape[0], k.shape[1] // 4)
+
+    def test_fsdp_shards_params_and_adam_moments(self):
+        """ZeRO axis: params AND Adam mu/nu live sharded over 'fsdp' — the
+        per-device footprint of a (d,d) kernel drops by the axis size."""
+        import dataclasses
+        cfg = dataclasses.replace(TINY, mesh=MeshConfig(data=2, fsdp=4,
+                                                        model=1))
+        mesh = make_mesh(cfg.mesh)
+        _, state = create_train_state(cfg, mesh)
+        k = state.params["fusion"]["layer_0"]["cross_attn"]["q_proj"]["kernel"]
+        assert k.sharding.shard_shape(k.shape) == (k.shape[0] // 4,
+                                                   k.shape[1])
+        # Adam moments mirror the param shardings (ZeRO optimizer sharding).
+        mu = state.opt_state[1][0].mu
+        mu_k = mu["fusion"]["layer_0"]["cross_attn"]["q_proj"]["kernel"]
+        assert mu_k.sharding.shard_shape(mu_k.shape) == (
+            mu_k.shape[0] // 4, mu_k.shape[1])
+
+    def test_fsdp_matches_single_device(self):
+        """data=2 x fsdp=4 loss == single-device loss (same data/init)."""
+        import dataclasses
+        model1, state1 = create_train_state(TINY)
+        step1 = make_train_step(model1, TINY)
+
+        cfgF = dataclasses.replace(TINY, mesh=MeshConfig(data=2, fsdp=4,
+                                                         model=1))
+        mesh = make_mesh(cfgF.mesh)
+        modelF, stateF = create_train_state(cfgF, mesh)
+        stepF = make_train_step(modelF, cfgF, mesh)
+
+        batch = tiny_batch()
+        _, m1 = step1(state1, batch)
+        with mesh:
+            _, mF = stepF(stateF, batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(mF["loss"]),
+                                   atol=1e-4, rtol=1e-5)
 
     def test_sharded_matches_single_device(self):
         """DP-sharded loss == single-device loss (same data, same init)."""
