@@ -48,6 +48,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the training loop")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans: any NaN produced inside a "
+                        "jitted step re-runs it op-by-op and raises "
+                        "FloatingPointError at the producing op")
     p.add_argument("--fused", action="store_true",
                    help="scan-fused training: on-device data generation + K "
                         "steps per XLA dispatch (the bench-class fast path), "
@@ -108,6 +112,9 @@ def _force_cpu_if(args) -> None:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
 
 def _mesh_or_none(cfg):

@@ -234,3 +234,48 @@ class TestFusedAudioProjection:
             jnp.asarray(golden_model["frames"]), deterministic=True)
         np.testing.assert_allclose(np.asarray(masks), golden_model["masks"],
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestPallasBf16Training:
+    def test_full_train_step_all_pallas_bf16(self):
+        """Regression: every Pallas kernel on the fwd+bwd path under
+        bfloat16 mixed precision (the production bench configuration).
+        Caught a custom-VJP cotangent dtype mismatch in audio_proj where the
+        Pallas forward emits bf16 but the XLA backward graph promotes to
+        f32 via the f32 biases."""
+        import dataclasses
+
+        from av_separation_tpu.config import (
+            DataConfig, ExperimentConfig, ModelConfig, TrainConfig)
+        from av_separation_tpu.train import create_train_state, \
+            make_train_step
+
+        cfg = ExperimentConfig(
+            name="tiny_pallas_bf16",
+            model=ModelConfig(freq_bins=65, d_model=32, nhead=2,
+                              num_encoder_layers=1, num_fusion_layers=1,
+                              num_speakers=2, dropout=0.1,
+                              attn_impl="pallas", decoder_impl="pallas",
+                              proj_impl="pallas", compute_dtype="bfloat16"),
+            data=DataConfig(num_samples=8, sample_rate=2048, duration=1.0,
+                            n_fft=128, hop_length=64, num_frames=5,
+                            frame_h=16, frame_w=16),
+            train=TrainConfig(batch_size=4, steps=1))
+        d = cfg.data
+        rng = np.random.default_rng(0)
+        batch = {
+            "mixed_spec": jnp.asarray(np.abs(rng.normal(
+                size=(4, d.freq_bins, d.num_stft_frames))
+            ).astype(np.float32)),
+            "lip_frames": jnp.asarray(rng.uniform(
+                size=(4, d.total_lip_frames, d.frame_h, d.frame_w)
+            ).astype(np.float32)),
+            "clean_specs": jnp.asarray(np.abs(rng.normal(
+                size=(4, 2, d.freq_bins, d.num_stft_frames))
+            ).astype(np.float32)),
+        }
+        model, state = create_train_state(cfg)
+        step = make_train_step(model, cfg)
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["grad_norm"]))
