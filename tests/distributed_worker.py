@@ -14,6 +14,10 @@ Roles:
 import os
 import sys
 
+# Python puts the SCRIPT's directory (tests/) on sys.path, not the repo root;
+# make the package importable without an installed dist or PYTHONPATH.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> int:
     role, coord, pid, nproc = (sys.argv[1], sys.argv[2], int(sys.argv[3]),
