@@ -10,12 +10,23 @@ two quirks the parity gate depends on:
      scalar losses (reference losses.py:64-71), not per sample.  The standard
      per-utterance PIT is also provided (`pit_mode='per_sample'`).
 
-TPU-native design: instead of a Python loop over `itertools.permutations`
-holding S! autograd graphs alive (reference losses.py:61-73), the permutation
-axis is a static table baked at trace time and evaluated with `jax.vmap` —
-one fused kernel computes all S! losses, then a reduction picks the minimum.
-S <= 4 => at most 24 permutations; the permuted gather is a cheap index take
-on the speaker axis.
+TPU-native design: the reference loops S! times over the full tensors in
+Python, holding every autograd graph alive (reference losses.py:61-73).
+Here the flatten-all quirk is exploited for algebra instead: with per-item
+means over the *concatenated* vector, both the centering terms and the
+energies are permutation-INVARIANT, so each permutation's SI-SNR reduces to
+scalar combinations of pairwise speaker statistics:
+
+    dot(perm)   = sum_i <E_perm(i), T_i>        from  D[j,i] = <E_j, T_i>
+    ||est||^2, ||tgt||^2                         permutation-invariant
+    ||proj||^2  = dot^2 * ||T||^2 / (||T||^2+eps)^2
+    ||noise||^2 = ||E||^2 - 2 dot^2/(||T||^2+eps) + ||proj||^2
+
+D is ONE batched (S, F*T) @ (F*T, S) matmul on the MXU and the L1 matrix is
+ONE fused S^2 elementwise pass — so the whole S!-permutation search touches
+the data O(S^2) times instead of O(S! * passes), and the min-over-perms is
+pure scalar math.  Exact (up to fp reassociation) vs the direct evaluation;
+gated against it in tests/test_losses.py.
 """
 
 from __future__ import annotations
@@ -60,6 +71,44 @@ def si_snr(estimate: jnp.ndarray, target: jnp.ndarray,
     return jnp.mean(snr) if reduce_mean else snr
 
 
+def _pit_per_perm(separated: jnp.ndarray, targets: jnp.ndarray,
+                  eps: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-item SI-SNR and L1 for EVERY speaker permutation, from pairwise
+    statistics (see module docstring).  Returns (snr (B, P), l1 (B, P))."""
+    b, s = separated.shape[:2]
+    sep = separated.reshape(b, s, -1).astype(jnp.float32)
+    tgt = targets.reshape(b, s, -1).astype(jnp.float32)
+
+    # Per-item means over the CONCATENATED vector (reference losses.py:29-30
+    # semantics) — identical for every permutation.
+    e = sep - jnp.mean(sep, axis=(1, 2), keepdims=True)
+    t = tgt - jnp.mean(tgt, axis=(1, 2), keepdims=True)
+
+    d = jnp.einsum("bjk,bik->bji", e, t)      # (B, S, S): <E_j, T_i>
+    est_sq = jnp.sum(e * e, axis=(1, 2))      # (B,) — perm-invariant
+    tgt_sq = jnp.sum(t * t, axis=(1, 2))      # (B,) — perm-invariant
+    # L1 over the UNcentered tensors (reference losses.py:68 uses raw values).
+    l1m = jnp.mean(jnp.abs(sep[:, :, None] - tgt[:, None]), axis=-1)
+
+    perms = jnp.asarray(permutation_table(s))  # (P, S)
+    idx = jnp.arange(s)
+    # [b, p, i] -> stat[b, perms[p, i], i]
+    dots = jnp.sum(d[:, perms, idx], axis=-1)   # (B, P)
+    l1 = jnp.mean(l1m[:, perms, idx], axis=-1)  # (B, P)
+
+    tgt_energy = (tgt_sq + eps)[:, None]        # (B, 1)
+    dot_sq = dots * dots
+    proj_sq = dot_sq * tgt_sq[:, None] / (tgt_energy * tgt_energy)
+    # ||E||^2 - 2 dot^2/(||T||^2+eps) + ||proj||^2 cancels catastrophically
+    # when est ~ proj (perfect separation): the true value is ~0 but fp
+    # round-off can land slightly negative, NaN-ing the log.  The direct
+    # elementwise ||est - proj||^2 is >= 0 by construction; clamp to match.
+    noise_sq = jnp.maximum(
+        est_sq[:, None] - 2.0 * dot_sq / tgt_energy + proj_sq, 0.0)
+    snr = 10.0 * jnp.log10(proj_sq / (noise_sq + eps) + eps)
+    return snr, l1
+
+
 @partial(jax.jit, static_argnames=("l1_weight", "pit_mode", "eps"))
 def separation_loss(separated: jnp.ndarray, targets: jnp.ndarray,
                     l1_weight: float = 0.5, pit_mode: str = "global",
@@ -67,34 +116,48 @@ def separation_loss(separated: jnp.ndarray, targets: jnp.ndarray,
     """PIT loss over (B, S, F, T) separated/target spectrograms.
 
     loss(perm) = -si_snr(separated[:, perm], targets) + l1_weight * L1
-    minimized over all S! speaker permutations.
+    minimized over all S! speaker permutations (reference losses.py:61-73).
     """
-    s = separated.shape[1]
-    perms = jnp.asarray(permutation_table(s))  # (P, S)
+    snr, l1 = _pit_per_perm(separated, targets, eps)  # (B, P) each
 
     if pit_mode == "global":
         # Reference semantics: scalar loss per permutation, min over perms.
+        losses = -jnp.mean(snr, axis=0) + l1_weight * jnp.mean(l1, axis=0)
+        return jnp.min(losses)
+
+    if pit_mode == "per_sample":
+        losses = -snr + l1_weight * l1            # (B, P)
+        return jnp.mean(jnp.min(losses, axis=1))
+
+    raise ValueError(f"unknown pit_mode {pit_mode!r}")
+
+
+def separation_loss_direct(separated: jnp.ndarray, targets: jnp.ndarray,
+                           l1_weight: float = 0.5, pit_mode: str = "global",
+                           eps: float = 1e-8) -> jnp.ndarray:
+    """Direct S!-pass evaluation (vmapped take over full tensors) — the
+    semantics oracle the pairwise-statistics path is gated against."""
+    s = separated.shape[1]
+    perms = jnp.asarray(permutation_table(s))
+
+    if pit_mode == "global":
         def loss_for_perm(perm):
             perm_sep = jnp.take(separated, perm, axis=1)
             snr = si_snr(perm_sep, targets, eps)
             l1 = jnp.mean(jnp.abs(perm_sep - targets))
             return -snr + l1_weight * l1
 
-        losses = jax.vmap(loss_for_perm)(perms)  # (P,)
-        return jnp.min(losses)
+        return jnp.min(jax.vmap(loss_for_perm)(perms))
 
-    if pit_mode == "per_sample":
-        def loss_for_perm(perm):
-            perm_sep = jnp.take(separated, perm, axis=1)
-            snr = si_snr(perm_sep, targets, eps, reduce_mean=False)  # (B,)
-            l1 = jnp.mean(jnp.abs(perm_sep - targets),
-                          axis=tuple(range(1, separated.ndim)))  # (B,)
-            return -snr + l1_weight * l1
+    def loss_for_perm(perm):
+        perm_sep = jnp.take(separated, perm, axis=1)
+        snr = si_snr(perm_sep, targets, eps, reduce_mean=False)
+        l1 = jnp.mean(jnp.abs(perm_sep - targets),
+                      axis=tuple(range(1, separated.ndim)))
+        return -snr + l1_weight * l1
 
-        losses = jax.vmap(loss_for_perm)(perms)  # (P, B)
-        return jnp.mean(jnp.min(losses, axis=0))
-
-    raise ValueError(f"unknown pit_mode {pit_mode!r}")
+    losses = jax.vmap(loss_for_perm)(perms)  # (P, B)
+    return jnp.mean(jnp.min(losses, axis=0))
 
 
 def best_permutation(separated: jnp.ndarray, targets: jnp.ndarray
@@ -103,11 +166,6 @@ def best_permutation(separated: jnp.ndarray, targets: jnp.ndarray
     assignment search exposed for evaluation/metrics."""
     s = separated.shape[1]
     perms = jnp.asarray(permutation_table(s))
-
-    def snr_for_perm(perm):
-        perm_sep = jnp.take(separated, perm, axis=1)
-        return si_snr(perm_sep, targets, reduce_mean=False)  # (B,)
-
-    snrs = jax.vmap(snr_for_perm)(perms)  # (P, B)
-    best = jnp.argmax(snrs, axis=0)  # (B,)
-    return perms[best], jnp.max(snrs, axis=0)
+    snrs, _ = _pit_per_perm(separated, targets, 1e-8)  # (B, P)
+    best = jnp.argmax(snrs, axis=1)  # (B,)
+    return perms[best], jnp.max(snrs, axis=1)

@@ -119,3 +119,54 @@ class TestMetrics:
         sep = jnp.stack([tgt[0], tgt[1, ::-1]], axis=0)
         out = np.asarray(permutation_snr(sep, tgt))
         assert (out > 40.0).all()
+
+
+class TestPairwiseStatsPIT:
+    """The production loss computes the S!-permutation search from pairwise
+    speaker statistics (one MXU matmul + one S^2 L1 pass, losses.py module
+    docstring); these gates pin it to the direct S!-pass oracle, values and
+    gradients, for every supported speaker count and both PIT modes."""
+
+    def _pair(self, s, seed, b=3, f=33, t=17):
+        sep = rand((b, s, f, t), seed)
+        # mix in correlated structure so the perms aren't degenerate
+        tgt = 0.7 * jnp.roll(sep, 1, axis=1) + 0.3 * rand((b, s, f, t),
+                                                          seed + 1)
+        return sep, tgt
+
+    def test_matches_direct_all_speaker_counts(self):
+        from av_separation_tpu.losses import separation_loss_direct
+        for s in (2, 3, 4):
+            for mode in ("global", "per_sample"):
+                sep, tgt = self._pair(s, seed=s)
+                got = float(separation_loss(sep, tgt, l1_weight=0.5,
+                                            pit_mode=mode))
+                want = float(separation_loss_direct(sep, tgt, l1_weight=0.5,
+                                                    pit_mode=mode))
+                np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-5,
+                                           err_msg=f"S={s} mode={mode}")
+
+    def test_gradients_match_direct(self):
+        from av_separation_tpu.losses import separation_loss_direct
+        for s in (2, 3):
+            sep, tgt = self._pair(s, seed=10 + s)
+            gp = jax.grad(lambda x: separation_loss(x, tgt))(sep)
+            gd = jax.grad(lambda x: separation_loss_direct(x, tgt))(sep)
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gd),
+                                       atol=1e-5, rtol=1e-3,
+                                       err_msg=f"S={s}")
+
+    def test_best_permutation_matches_direct_argmax(self):
+        sep, tgt = self._pair(3, seed=42, b=5)
+        perms, snrs = best_permutation(sep, tgt)
+        # direct: evaluate per-sample si_snr for each permutation
+        table = jnp.asarray(permutation_table(3))
+        direct = jnp.stack([
+            si_snr(jnp.take(sep, p, axis=1), tgt, reduce_mean=False)
+            for p in table], axis=1)  # (B, P)
+        np.testing.assert_allclose(np.asarray(snrs),
+                                   np.asarray(jnp.max(direct, axis=1)),
+                                   atol=1e-4, rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(perms),
+            np.asarray(table[jnp.argmax(direct, axis=1)]))
