@@ -5,6 +5,15 @@ sync discipline as bench.py) to attribute step time: visual conv stem,
 full visual encoder, audio encoder, fusion, decoder, loss+bwd, on-device
 data generation.
 
+Two methodology rules this file learned the hard way:
+  - Tensors are passed as jit ARGUMENTS, never closed over: closure
+    constants embed in the HLO and blow the remote-compile request limit
+    on big configs (HTTP 413).
+  - The full-train-step section THREADS the state through the scan;
+    feeding the same state to every iteration lets XLA dead-code-eliminate
+    the entire backward+optimizer (grads of a discarded state are unused),
+    which silently reports fwd-only time.
+
 Usage: python tools/profile_breakdown.py [--config demo] [--batch 128]
            [--k 20] [--dtype bfloat16] [--impl xla|pallas]
 """
@@ -24,30 +33,99 @@ import jax.numpy as jnp
 import numpy as np
 
 from av_separation_tpu import get_config
-from av_separation_tpu.train import create_train_state, make_train_step
+from av_separation_tpu.train import create_train_state
 from av_separation_tpu.utils.cache import enable_compilation_cache
 
 RESULTS = []
 
 
-def timed(name, fn, *args, k=20, reps=3):
-    """Time fn under a k-iteration scan; sync by fetching the scalar result."""
-    def body(carry, _):
-        out = fn(*args)
-        # fold output into a scalar so every iteration is live
-        s = sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out))
-        return carry + s, None
+_OVERHEAD_S = None
 
-    scanned = jax.jit(lambda: jax.lax.scan(body, 0.0, None, length=k)[0])
-    float(np.asarray(scanned()))  # compile + warm
+
+def _dispatch_overhead(reps=5):
+    """Per-call dispatch+sync cost of the (tunneled) backend, measured once
+    with an empty jitted program — subtracted from every section so small
+    sections aren't swamped by it."""
+    global _OVERHEAD_S
+    if _OVERHEAD_S is None:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0)
+        float(np.asarray(f(x)))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(f(x)))
+            best = min(best, time.perf_counter() - t0)
+        _OVERHEAD_S = best
+        print(f"{'[dispatch+sync overhead per call]':44s} "
+              f"{best * 1e3:8.3f} ms", flush=True)
+    return _OVERHEAD_S
+
+
+def timed(name, fn, *args, k=20, reps=3):
+    """Time fn(*args) under a k-iteration scan; sync by fetching the scalar.
+
+    fn's outputs are folded into a scalar carry so every iteration is live,
+    and the inputs are routed THROUGH an optimization_barrier together with
+    the carry — without that loop-carried data dependency XLA hoists the
+    (loop-invariant) body out of the scan and every section "measures" the
+    same dispatch overhead.  args are jit arguments (not constants), so big
+    tensors don't inflate the compiled program past the remote-compile
+    request limit.
+    """
+    def scanned(*args):
+        def body(carry, _):
+            c, a = jax.lax.optimization_barrier((carry, args))
+            out = fn(*a)
+            s = sum(jnp.sum(x.astype(jnp.float32))
+                    for x in jax.tree.leaves(out))
+            return c + s, None
+        return jax.lax.scan(body, jnp.float32(0), None, length=k)[0]
+
+    overhead = _dispatch_overhead()
+    jfn = jax.jit(scanned)
+    float(np.asarray(jfn(*args)))  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(np.asarray(scanned()))
-        best = min(best, (time.perf_counter() - t0) / k)
-    print(f"{name:38s} {best * 1e3:8.3f} ms/step", flush=True)
+        float(np.asarray(jfn(*args)))
+        best = min(best, (time.perf_counter() - t0 - overhead) / k)
+    print(f"{name:44s} {best * 1e3:8.3f} ms/step", flush=True)
     RESULTS.append({"section": name, "ms_per_step": round(best * 1e3, 3)})
     return best
+
+
+def timed_threaded(name, step_fn, state, batch, k=20, reps=3):
+    """Time a REAL train step with the state threaded through the scan —
+    the backward pass and optimizer update stay live in the program."""
+    def scanned(state, batch):
+        def body(s, _):
+            s2, metrics = step_fn(s, batch)
+            return s2, metrics["loss"]
+        final, losses = jax.lax.scan(body, state, None, length=k)
+        return losses[-1]
+
+    overhead = _dispatch_overhead()
+    jfn = jax.jit(scanned)
+    float(np.asarray(jfn(state, batch)))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(jfn(state, batch)))
+        best = min(best, (time.perf_counter() - t0 - overhead) / k)
+    print(f"{name:44s} {best * 1e3:8.3f} ms/step", flush=True)
+    RESULTS.append({"section": name, "ms_per_step": round(best * 1e3, 3)})
+    return best
+
+
+def timed_grad(name, fn, *args, k=20, reps=3):
+    """Time fwd+bwd of fn: grad of sum(fn(*args)) wrt args[0]."""
+    def loss(*a):
+        out = fn(*a)
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree.leaves(out))
+    g = jax.grad(loss, argnums=0)
+    return timed(name, g, *args, k=k, reps=reps)
 
 
 def main():
@@ -85,52 +163,49 @@ def main():
     clean = jnp.asarray(
         rng.normal(size=(b, d.num_speakers, d.freq_bins, d.num_stft_frames))
         .astype(np.float32))
+    batch = {"mixed_spec": mixed, "lip_frames": frames, "clean_specs": clean}
     k = args.k
 
-    # full train step
-    step_fn = make_train_step(model, cfg)
-    st = state
-    def full(s):
-        s2, m = step_fn(s, {"mixed_spec": mixed, "lip_frames": frames,
-                            "clean_specs": clean})
-        return (m["loss"],)
-    timed("full train step (fwd+bwd+adam)", full, st, k=k)
+    # full train step, state threaded (bwd + Adam live); the raw body (no
+    # jit/donation) — the scan carries the state internally.
+    from av_separation_tpu.train import _train_step_body
+    raw_step = _train_step_body(model, cfg)
+    timed_threaded("full train step (fwd+bwd+adam)", raw_step, state, batch,
+                   k=k)
 
     # on-device data generation (what the fused path adds per step)
     from av_separation_tpu.data.device_synthetic import generate_batch
     key = jax.random.key(0, impl=cfg.train.rng_impl)
-    def datagen():
+    def datagen(key):
         batch = generate_batch(key, d, b)
         return (batch["mixed_spec"],)
-    timed("on-device data generation", datagen, k=k)
+    timed("on-device data generation", datagen, key, k=k)
 
     # fwd only
     variables = {"params": params, "batch_stats": state.batch_stats}
-    def fwd():
+    def fwd(variables, mixed, frames):
         sep, masks = model.apply(variables, mixed, frames,
                                  deterministic=True)
         return (jnp.sum(sep.astype(jnp.float32)),)
-    timed("forward only", fwd, k=k)
+    timed("forward only", fwd, variables, mixed, frames, k=k)
 
-    # visual conv stem only (conv+bn+relu x3 + pool + proj), isolated
+    # visual conv stem: throwaway module with the same params
     import flax.linen as nn
-    from av_separation_tpu.models.model import VisualEncoder
+    from av_separation_tpu.models.layers import TorchBatchNorm, dense
+    from av_separation_tpu.models.model import VisualEncoder, _cdt, _conv
 
     venc = VisualEncoder(cfg.model)
     vvars = {"params": params["visual_encoder"],
              "batch_stats": state.batch_stats["visual_encoder"]}
-    def vis():
+    def vis(vvars, frames):
         out = venc.apply(vvars, frames, d.num_stft_frames,
                          deterministic=True)
         return (jnp.sum(out.astype(jnp.float32)),)
-    timed("visual encoder (stem+tfmr+interp)", vis, k=k)
-
-    # just the conv stem via a throwaway module with the same params
-    from av_separation_tpu.models.model import _conv, _cdt
-    from av_separation_tpu.models.layers import TorchBatchNorm, dense
+    timed("visual encoder (stem+tfmr+interp)", vis, vvars, frames, k=k)
 
     class Stem(nn.Module):
         cfg: object
+        train_bn: bool = False
 
         @nn.compact
         def __call__(self, fr):
@@ -140,31 +215,46 @@ def main():
                 x = _conv(ch, (3, 3), (2, 2), [(1, 1), (1, 1)],
                           f"conv{i + 1}", _cdt(self.cfg))(x)
                 x = TorchBatchNorm(ch, name=f"bn{i + 1}")(
-                    x, use_running_average=True)
+                    x, use_running_average=not self.train_bn)
                 x = nn.relu(x)
             x = jnp.mean(x, axis=(1, 2))
             return dense(self.cfg.d_model, 128, "frame_proj",
                          _cdt(self.cfg))(x)
 
-    stem = Stem(cfg.model)
     sp = {k2: params["visual_encoder"][k2]
           for k2 in ("conv1", "conv2", "conv3", "frame_proj",
                      "bn1", "bn2", "bn3")}
     sb = {k2: state.batch_stats["visual_encoder"][k2]
           for k2 in ("bn1", "bn2", "bn3")}
-    def stem_fn():
-        out = stem.apply({"params": sp, "batch_stats": sb}, frames)
+    svars = {"params": sp, "batch_stats": sb}
+
+    stem_eval = Stem(cfg.model, train_bn=False)
+    def stem_fn(svars, frames):
+        return (jnp.sum(stem_eval.apply(svars, frames)
+                        .astype(jnp.float32)),)
+    timed("visual conv stem fwd (eval BN)", stem_fn, svars, frames, k=k)
+
+    stem_train = Stem(cfg.model, train_bn=True)
+    def stem_train_fn(svars, frames):
+        out, _ = stem_train.apply(svars, frames, mutable=["batch_stats"])
         return (jnp.sum(out.astype(jnp.float32)),)
-    timed("visual conv stem only", stem_fn, k=k)
+    timed("visual conv stem fwd (train BN)", stem_train_fn, svars, frames,
+          k=k)
+
+    def stem_loss(svars, frames):
+        out, _ = stem_train.apply(svars, frames, mutable=["batch_stats"])
+        return (jnp.sum(out.astype(jnp.float32)),)
+    timed_grad("visual conv stem fwd+bwd (train BN)", stem_loss, svars,
+               frames, k=k)
 
     # audio encoder
     from av_separation_tpu.models.model import AudioEncoder
     aenc = AudioEncoder(cfg.model)
-    def aud():
-        out = aenc.apply({"params": params["audio_encoder"]}, mixed,
-                         deterministic=True)
+    avars = {"params": params["audio_encoder"]}
+    def aud(avars, mixed):
+        out = aenc.apply(avars, mixed, deterministic=True)
         return (jnp.sum(out.astype(jnp.float32)),)
-    timed("audio encoder", aud, k=k)
+    timed("audio encoder", aud, avars, mixed, k=k)
 
     # fusion stack (audio-Q over T-resampled visual stream)
     from av_separation_tpu.models.model import CrossModalFusion
@@ -174,30 +264,32 @@ def main():
                         .astype(np.float32))
     v_emb = jnp.asarray(rng.normal(size=(b, t, cfg.model.d_model))
                         .astype(np.float32))
-    def fuse():
-        out = fus.apply({"params": params["fusion"]}, a_emb, v_emb,
-                        deterministic=True)
+    fvars = {"params": params["fusion"]}
+    def fuse(fvars, a_emb, v_emb):
+        out = fus.apply(fvars, a_emb, v_emb, deterministic=True)
         return (jnp.sum(out.astype(jnp.float32)),)
-    timed("fusion stack", fuse, k=k)
+    timed("fusion stack", fuse, fvars, a_emb, v_emb, k=k)
 
     # decoder (mask MLP + sigmoid + apply)
     from av_separation_tpu.models.model import SeparationDecoder
     dec = SeparationDecoder(cfg.model)
     fused_in = jnp.asarray(rng.normal(size=(b, t, cfg.model.d_model))
                            .astype(np.float32))
-    def decode():
-        sep, masks = dec.apply({"params": params["decoder"]}, fused_in,
-                               deterministic=True, mixed_spec=mixed)
+    dvars = {"params": params["decoder"]}
+    def decode(dvars, fused_in, mixed):
+        sep, masks = dec.apply(dvars, fused_in, deterministic=True,
+                               mixed_spec=mixed)
         return (jnp.sum(sep.astype(jnp.float32)),)
-    timed("decoder (MLP+sigmoid+apply)", decode, k=k)
+    timed("decoder (MLP+sigmoid+apply)", decode, dvars, fused_in, mixed, k=k)
 
     # loss (PIT over S!) on fixed tensors
     from av_separation_tpu.losses import separation_loss
     sep_fix = jnp.asarray(rng.normal(
         size=(b, d.num_speakers, d.freq_bins, t)).astype(np.float32))
-    def loss_fn():
+    def loss_fn(sep_fix, clean):
         return (separation_loss(sep_fix, clean),)
-    timed("PIT loss (fwd only)", loss_fn, k=k)
+    timed("PIT loss (fwd only)", loss_fn, sep_fix, clean, k=k)
+    timed_grad("PIT loss (fwd+bwd)", loss_fn, sep_fix, clean, k=k)
 
     if args.json_out:
         with open(args.json_out, "a") as f:
