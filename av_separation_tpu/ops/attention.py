@@ -63,9 +63,20 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Projected-QKV multi-head attention on (B, T, d) tensors."""
     qh, kh, vh = (split_heads(x, nhead) for x in (q, k, v))
-    if impl == "pallas" and dropout_rate == 0.0:
+    if impl == "pallas":
         from av_separation_tpu.ops.pallas.attention import flash_attention
-        out = flash_attention(qh, kh, vh)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            # In-kernel probability dropout: the hardware PRNG regenerates
+            # the mask per tile in fwd and bwd, so the T x T mask never
+            # materializes.  The kernel's stream is seeded from the step's
+            # dropout key (distribution-equivalent to XLA-path dropout; no
+            # bit-parity requirement between impls).
+            seed = jax.random.bits(dropout_rng, (1,), "uint32") \
+                .astype(jnp.int32)
+            out = flash_attention(qh, kh, vh, dropout_rate=dropout_rate,
+                                  dropout_seed=seed)
+        else:
+            out = flash_attention(qh, kh, vh)
     else:
         out = attention_xla(qh, kh, vh, dropout_rate, dropout_rng)
     return merge_heads(out)

@@ -16,6 +16,19 @@ The backward pass recomputes probabilities blockwise (flash-style) and
 accumulates dQ/dK/dV in two kernels: dQ over the key grid, dK/dV over the
 query grid — each a pure matmul chain on the MXU.
 
+Attention-probability DROPOUT (torch MHA training semantics: the normalized
+probability row is masked and survivors scaled by 1/(1-r), so rows no longer
+sum to 1) runs IN-KERNEL from the TPU hardware PRNG: each (batch*head,
+q-block, k-block) tile seeds `pltpu.prng_seed(seed, b, i, j)` and draws its
+keep mask, and the backward kernels regenerate the identical mask from the
+same indices — the T x T mask never exists in HBM.  The flash trick
+delta = sum(dO * O) survives dropout exactly:
+    out_row = sum_k (M_k P_k / (1-r)) V_k
+    sum_k P_k dP_k = sum_k P_k M_k (dO . V_k) / (1-r) = dO . out_row
+so the backward formulas only change by masking/rescaling p where it stands
+in for the probabilities.  Without that in-kernel path, training (dropout >
+0) falls back to dense XLA attention and materializes the probabilities.
+
 Head dims < 128 are zero-padded to the 128-lane width by the wrapper;
 padded key positions are masked to -inf before the softmax.
 """
@@ -48,13 +61,39 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     return jnp.pad(x, pads)
 
 
+def _keep_mask(seed_ref, b, i, j, shape, rate: float):
+    """Regenerable per-tile dropout keep mask.
+
+    A stateless murmur3-finalizer hash over (seed, b, i, j, row, col) in
+    plain uint32 vector ops: a pure function of the tile coordinates, so the
+    forward and both backward kernels recompute identical bits, and the same
+    code runs compiled on the chip and under the Pallas interpreter in CI
+    (pltpu.prng_random_bits returns zeros in interpret mode, which would
+    silently drop everything)."""
+    u = jnp.uint32
+    tile = (seed_ref[0].astype(u) * u(0x9E3779B9)
+            ^ b.astype(u) * u(0x85EBCA6B)
+            ^ i.astype(u) * u(0xC2B2AE35)
+            ^ j.astype(u) * u(0x27D4EB2F))
+    h = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * u(0x01000193)
+         + jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * u(0x61C88647)
+         + tile)
+    h = h ^ (h >> u(16))
+    h = h * u(0x85EBCA6B)
+    h = h ^ (h >> u(13))
+    h = h * u(0xC2B2AE35)
+    h = h ^ (h >> u(16))
+    threshold = u(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    return h >= threshold
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
                 m_scr, l_scr, acc_scr,
-                *, scale: float, tk: int, block_k: int):
+                *, scale: float, tk: int, block_k: int, rate: float):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -80,7 +119,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
+    # The softmax denominator accumulates the UNdropped p (torch applies
+    # dropout after the softmax), so l is dropout-independent.
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref, pl.program_id(0), pl.program_id(1), j,
+                          p.shape, rate)
+        p = jnp.where(keep, p, 0.0)
 
     v = v_ref[0].astype(jnp.float32)
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
@@ -91,20 +137,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
     @pl.when(j == nk - 1)
     def _():
         l = l_scr[:, :1]
-        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / (l * (1.0 - rate))).astype(o_ref.dtype)
         m_out_ref[0] = m_scr[:]
         l_out_ref[0] = l_scr[:]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, scale: float, block_q: int, block_k: int, true_tk: int):
-    out, _, _ = _flash_call(q, k, v, scale, block_q, block_k, true_tk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, seed, scale: float, block_q: int, block_k: int,
+           true_tk: int, rate: float):
+    out, _, _ = _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk,
+                            rate)
     return out
 
 
-def _flash_call(q, k, v, scale, block_q, block_k, true_tk):
+def _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk, rate):
     """q: (BH, Tq, D) k/v: (BH, Tk, D) — all pre-padded to block/lane
-    multiples; `true_tk` masks the padded key tail."""
+    multiples; `true_tk` masks the padded key tail.  seed: (1,) int32."""
     bh, tq, d = q.shape
     tk = true_tk
     nq = _cdiv(tq, block_q)
@@ -112,9 +160,11 @@ def _flash_call(q, k, v, scale, block_q, block_k, true_tk):
 
     grid = (bh, nq, nk)
     out, m_out, l_out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, tk=tk, block_k=block_k),
+        functools.partial(_fwd_kernel, scale=scale, tk=tk, block_k=block_k,
+                          rate=rate),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
@@ -142,7 +192,7 @@ def _flash_call(q, k, v, scale, block_q, block_k, true_tk):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(q, k, v)
+    )(seed, q, k, v)
     return out, m_out, l_out
 
 
@@ -158,8 +208,9 @@ def _out_stats_kernel(m_ref, l_ref, o_ref, do_ref, lse_ref, delta_ref):
     delta_ref[0] = jnp.broadcast_to(delta, delta_ref.shape[1:])
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               acc_scr, *, scale: float, tk: int, block_k: int):
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, acc_scr, *, scale: float, tk: int, block_k: int,
+               rate: float):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -183,6 +234,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref, pl.program_id(0), pl.program_id(1), j,
+                          p.shape, rate)
+        # ds = P * (M . dp/(1-r) - delta): mask/rescale dp where it stands
+        # in for dP (see module docstring — delta is dropout-exact).
+        dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
     ds = p * (dp - delta) * scale
     acc_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
@@ -191,9 +248,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr,
-                *, scale: float, tk: int, block_k: int):
+                *, scale: float, tk: int, block_k: int, rate: float):
     i = pl.program_id(2)  # query-block index (innermost)
     nq = pl.num_programs(2)
 
@@ -211,16 +268,26 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
+    j = pl.program_id(1)
     if tk % block_k != 0:
-        j = pl.program_id(1)
         kidx = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1)
         s = jnp.where(kidx < tk, s, NEG_INF)
     p = jnp.exp(s - lse)  # (bq, bk)
-    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    if rate > 0.0:
+        # Same (b, q-block, k-block) seeding as the forward: this grid is
+        # (bh, nk, nq), so the q-block index is program_id(2) and the
+        # k-block index program_id(1).
+        keep = _keep_mask(seed_ref, pl.program_id(0), i, j, p.shape, rate)
+        pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+    else:
+        pd = p
+    dv_scr[:] += jax.lax.dot_general(pd, do, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
     ds = p * (dp - delta) * scale  # (bq, bk)
     dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -231,14 +298,14 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_fwd_rule(q, k, v, scale, block_q, block_k, true_tk):
-    out, m_out, l_out = _flash_call(q, k, v, scale, block_q, block_k,
-                                    true_tk)
-    return out, (q, k, v, out, m_out, l_out)
+def _flash_fwd_rule(q, k, v, seed, scale, block_q, block_k, true_tk, rate):
+    out, m_out, l_out = _flash_call(q, k, v, seed, scale, block_q, block_k,
+                                    true_tk, rate)
+    return out, (q, k, v, seed, out, m_out, l_out)
 
 
-def _flash_bwd_rule(scale, block_q, block_k, true_tk, res, g):
-    q, k, v, out, m_out, l_out = res
+def _flash_bwd_rule(scale, block_q, block_k, true_tk, rate, res, g):
+    q, k, v, seed, out, m_out, l_out = res
     bh, tq, d = q.shape
     tk = true_tk
     nq = tq // block_q
@@ -264,9 +331,11 @@ def _flash_bwd_rule(scale, block_q, block_k, true_tk, res, g):
 
     # Stage 2: dQ (accumulate over key blocks).
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, tk=tk, block_k=block_k),
+        functools.partial(_dq_kernel, scale=scale, tk=tk, block_k=block_k,
+                          rate=rate),
         grid=(bh, nq, nk),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
@@ -286,13 +355,15 @@ def _flash_bwd_rule(scale, block_q, block_k, true_tk, res, g):
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(q_p, k, v, g_p, lse, delta)
+    )(seed, q_p, k, v, g_p, lse, delta)
 
     # Stage 3: dK/dV (accumulate over query blocks, innermost).
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, tk=tk, block_k=block_k),
+        functools.partial(_dkv_kernel, scale=scale, tk=tk, block_k=block_k,
+                          rate=rate),
         grid=(bh, nk, nq),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
@@ -316,9 +387,9 @@ def _flash_bwd_rule(scale, block_q, block_k, true_tk, res, g):
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(q_p, k, v, g_p, lse, delta)
+    )(seed, q_p, k, v, g_p, lse, delta)
 
-    return dq, dk, dv
+    return dq, dk, dv, jnp.zeros_like(seed)
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -326,15 +397,26 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+                    block_k: int = DEFAULT_BLOCK_K,
+                    dropout_rate: float = 0.0,
+                    dropout_seed: jnp.ndarray | None = None) -> jnp.ndarray:
     """(B, H, Tq, dh) x (B, H, Tk, dh) -> (B, H, Tq, dh), flash-style.
 
     Handles dh < 128 by zero-padding lanes (softmax scale uses the true dh)
     and Tq/Tk not divisible by the block sizes by padding + masking.
+
+    With dropout_rate > 0, attention-probability dropout (torch MHA training
+    semantics) runs in-kernel from the hardware PRNG; `dropout_seed` must be
+    an int32 array of shape (1,) — the same seed reproduces the same mask.
     """
     b, h, tq, dh = q.shape
     tk = k.shape[2]
     scale = 1.0 / (dh ** 0.5)
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
 
     qf = q.reshape(b * h, tq, dh)
     kf = k.reshape(b * h, tk, dh)
@@ -351,5 +433,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kf = _pad_to(kf, 1, bk)
     vf = _pad_to(vf, 1, bk)
 
-    out = _flash(qf, kf, vf, scale, bq, bk, tk)
+    out = _flash(qf, kf, vf, dropout_seed.astype(jnp.int32).reshape(1),
+                 scale, bq, bk, tk, rate)
     return out[:, :tq, :dh].reshape(b, h, tq, dh)

@@ -279,3 +279,84 @@ class TestPallasBf16Training:
         state, m = step(state, batch)
         assert np.isfinite(float(m["loss"]))
         assert np.isfinite(float(m["grad_norm"]))
+
+
+class TestFlashAttentionDropout:
+    """In-kernel probability dropout (ops/pallas/attention.py): mask drawn
+    from the hardware PRNG per (bh, q-block, k-block) tile, regenerated
+    identically in the backward kernels."""
+
+    def _qkv(self, tq=63, tk=50, dh=32, bh=(1, 2)):
+        return (rand(bh + (tq, dh), 0), rand(bh + (tk, dh), 1),
+                rand(bh + (tk, dh), 2))
+
+    def test_rate_zero_matches_no_dropout(self):
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        q, k, v = self._qkv()
+        seed = jnp.asarray([7], jnp.int32)
+        a = flash_attention(q, k, v)
+        b = flash_attention(q, k, v, dropout_rate=0.0, dropout_seed=seed)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_same_seed_deterministic_different_seed_differs(self):
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        q, k, v = self._qkv()
+        s1 = jnp.asarray([3], jnp.int32)
+        s2 = jnp.asarray([4], jnp.int32)
+        a = flash_attention(q, k, v, dropout_rate=0.5, dropout_seed=s1)
+        b = flash_attention(q, k, v, dropout_rate=0.5, dropout_seed=s1)
+        c = flash_attention(q, k, v, dropout_rate=0.5, dropout_seed=s2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    def test_drop_fraction(self):
+        # With V = I, out[q, j] = dropped_probs[q, j] / (1-r): zeros mark
+        # dropped positions, so the zero fraction estimates the rate.
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        tk = dh = 128
+        q = rand((1, 1, 128, dh), 0)
+        k = rand((1, 1, tk, dh), 1)
+        v = jnp.eye(tk, dh)[None, None]
+        out = flash_attention(q, k, v, dropout_rate=0.3,
+                              dropout_seed=jnp.asarray([11], jnp.int32))
+        frac = float(np.mean(np.asarray(out) == 0.0))
+        assert 0.25 < frac < 0.35, frac
+
+    def test_unbiased_expectation(self):
+        # E over seeds of dropped attention == undropped attention.
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        q, k, v = self._qkv(tq=16, tk=32, dh=32, bh=(1, 1))
+        base = np.asarray(flash_attention(q, k, v))
+        acc = np.zeros_like(base)
+        n = 64
+        for s in range(n):
+            acc += np.asarray(flash_attention(
+                q, k, v, dropout_rate=0.3,
+                dropout_seed=jnp.asarray([s], jnp.int32)))
+        np.testing.assert_allclose(acc / n, base, atol=0.25)
+
+    def test_gradient_matches_finite_difference(self):
+        # The mask is a fixed function of the seed, so the dropped attention
+        # is a deterministic differentiable function; the backward kernels
+        # must regenerate the identical mask (directional derivative check).
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        q, k, v = self._qkv(tq=16, tk=24, dh=32, bh=(1, 1))
+        g = rand((1, 1, 16, 32), 3)
+        seed = jnp.asarray([5], jnp.int32)
+
+        def f(q, k, v):
+            return jnp.vdot(flash_attention(
+                q, k, v, dropout_rate=0.4, dropout_seed=seed), g)
+
+        grads = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        rng = np.random.default_rng(9)
+        for name, x, gx in zip("qkv", (q, k, v), grads):
+            d = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+            eps = 1e-2
+            fd = (float(f(*[a + eps * d if a is x else a
+                            for a in (q, k, v)]))
+                  - float(f(*[a - eps * d if a is x else a
+                              for a in (q, k, v)]))) / (2 * eps)
+            an = float(jnp.vdot(gx, d))
+            np.testing.assert_allclose(an, fd, rtol=2e-2,
+                                       err_msg=f"d{name}")
