@@ -12,25 +12,35 @@ Grid layout: (B*H, Tq/block_q, Tk/block_k) with the key axis innermost
 scratch carries across key blocks and the output block is finalized on the
 last key iteration.
 
+Two bandwidth rules this kernel learned from the chip (scaled config,
+T=501, dh=64: the first version ran 2x SLOWER than XLA dense attention):
+  - Softmax statistics are stored COMPACT as (BH, Tq) — one f32 per row,
+    laid out with Tq on the lane axis (block (1, block_q)).  Broadcasting
+    them over 128 lanes "for layout convenience" made them 128x larger
+    than the problem (67MB per stat tensor at scaled shapes) and that
+    traffic, re-read by every backward stage, dominated the kernel.
+    The forward fuses lse = m + log(l) and emits ONLY that.
+  - Q/K/V are NOT padded to 128 lanes.  Head dims of 32/64 run as native
+    narrow blocks (half-utilized loads beat doubling HBM bytes with an
+    XLA pad copy first; the QK/PV matmul FLOPs are noise at these shapes).
+
 The backward pass recomputes probabilities blockwise (flash-style) and
 accumulates dQ/dK/dV in two kernels: dQ over the key grid, dK/dV over the
 query grid — each a pure matmul chain on the MXU.
 
 Attention-probability DROPOUT (torch MHA training semantics: the normalized
 probability row is masked and survivors scaled by 1/(1-r), so rows no longer
-sum to 1) runs IN-KERNEL from the TPU hardware PRNG: each (batch*head,
-q-block, k-block) tile seeds `pltpu.prng_seed(seed, b, i, j)` and draws its
-keep mask, and the backward kernels regenerate the identical mask from the
-same indices — the T x T mask never exists in HBM.  The flash trick
-delta = sum(dO * O) survives dropout exactly:
+sum to 1) runs IN-KERNEL: each (batch*head, q-block, k-block) tile draws its
+keep mask from a stateless murmur3-finalizer hash of the tile coordinates
+(plain uint32 vector ops — identical compiled and under the CI interpreter,
+where pltpu.prng_random_bits returns zeros), and the backward kernels
+regenerate the identical mask — the T x T mask never exists in HBM.  The
+flash trick delta = sum(dO * O) survives dropout exactly:
     out_row = sum_k (M_k P_k / (1-r)) V_k
     sum_k P_k dP_k = sum_k P_k M_k (dO . V_k) / (1-r) = dO . out_row
-so the backward formulas only change by masking/rescaling p where it stands
-in for the probabilities.  Without that in-kernel path, training (dropout >
-0) falls back to dense XLA attention and materializes the probabilities.
-
-Head dims < 128 are zero-padded to the 128-lane width by the wrapper;
-padded key positions are masked to -inf before the softmax.
+so the backward formulas only change by masking/rescaling dp.  Without the
+in-kernel path, training (dropout > 0) would fall back to dense XLA
+attention and materialize the probabilities.
 """
 
 from __future__ import annotations
@@ -42,8 +52,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+# Default block caps.  The grid is (B*H, Tq/bq, Tk/bk): SMALL blocks mean
+# THOUSANDS of tiny programs and the per-program overhead dominates (the
+# 128x128 default ran 2x slower than XLA dense at T=501).  Everything this
+# framework runs has T <= ~512, so whole rows of K/V fit in VMEM: 512-caps
+# collapse the grid to (B*H, 1, 1) — dense-in-VMEM attention with the
+# online-softmax path only engaging for genuinely long sequences.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
@@ -66,10 +82,7 @@ def _keep_mask(seed_ref, b, i, j, shape, rate: float):
 
     A stateless murmur3-finalizer hash over (seed, b, i, j, row, col) in
     plain uint32 vector ops: a pure function of the tile coordinates, so the
-    forward and both backward kernels recompute identical bits, and the same
-    code runs compiled on the chip and under the Pallas interpreter in CI
-    (pltpu.prng_random_bits returns zeros in interpret mode, which would
-    silently drop everything)."""
+    forward and both backward kernels recompute identical bits."""
     u = jnp.uint32
     tile = (seed_ref[0].astype(u) * u(0x9E3779B9)
             ^ b.astype(u) * u(0x85EBCA6B)
@@ -91,7 +104,7 @@ def _keep_mask(seed_ref, b, i, j, shape, rate: float):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, scale: float, tk: int, block_k: int, rate: float):
     j = pl.program_id(2)
@@ -113,8 +126,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
             jnp.int32, s.shape, dimension=1)
         s = jnp.where(kidx < tk, s, NEG_INF)
 
-    m_prev = m_scr[:, :1]
-    l_prev = l_scr[:, :1]
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp(s - m_new)
@@ -131,35 +144,41 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
     v = v_ref[0].astype(jnp.float32)
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
         p, v, preferred_element_type=jnp.float32)
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    m_scr[:] = m_new
+    l_scr[:] = l_new
 
     @pl.when(j == nk - 1)
     def _():
-        l = l_scr[:, :1]
+        l = l_scr[:]
         o_ref[0] = (acc_scr[:] / (l * (1.0 - rate))).astype(o_ref.dtype)
-        m_out_ref[0] = m_scr[:]
-        l_out_ref[0] = l_scr[:]
+        # Compact per-row logsumexp, (block_q, 1) relaid to a lane row and
+        # broadcast over 8 sublanes (Mosaic's minimum second-minor block).
+        # This is the ONLY statistic the backward needs — 16x less HBM than
+        # a 128-lane broadcast, which dominated the first version's time.
+        lse = m_scr[:] + jnp.log(l)
+        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1),
+                                      lse_ref.shape[1:])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _flash(q, k, v, seed, scale: float, block_q: int, block_k: int,
            true_tk: int, rate: float):
-    out, _, _ = _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk,
-                            rate)
+    out, _ = _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk,
+                         rate)
     return out
 
 
 def _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk, rate):
-    """q: (BH, Tq, D) k/v: (BH, Tk, D) — all pre-padded to block/lane
-    multiples; `true_tk` masks the padded key tail.  seed: (1,) int32."""
+    """q: (BH, Tq, D) k/v: (BH, Tk, D) — sequence axes pre-padded to block
+    multiples (D stays the native head dim); `true_tk` masks the padded key
+    tail.  seed: (1,) int32.  Returns (out, lse (BH, Tq) f32)."""
     bh, tq, d = q.shape
     tk = true_tk
     nq = _cdiv(tq, block_q)
     nk = k.shape[1] // block_k
 
     grid = (bh, nq, nk)
-    out, m_out, l_out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, tk=tk, block_k=block_k,
                           rate=rate),
         grid=grid,
@@ -175,37 +194,31 @@ def _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk, rate):
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq * block_q, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, nq * block_q, 128), jnp.float32),
-            jax.ShapeDtypeStruct((bh, nq * block_q, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq * 8, block_q), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(seed, q, k, v)
-    return out, m_out, l_out
+    return out, lse
 
 
-def _out_stats_kernel(m_ref, l_ref, o_ref, do_ref, lse_ref, delta_ref):
-    """Per-row logsumexp and delta = sum(dO * O) for the backward pass."""
-    m = m_ref[0][:, :1]
-    l = l_ref[0][:, :1]
-    lse = m + jnp.log(l)
-    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+def _delta_kernel(o_ref, do_ref, delta_ref):
+    """Per-row delta = sum(dO * O), stored compact (8, block_q)."""
     o = o_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     delta = jnp.sum(o * do, axis=-1, keepdims=True)
-    delta_ref[0] = jnp.broadcast_to(delta, delta_ref.shape[1:])
+    delta_ref[0] = jnp.broadcast_to(delta.reshape(1, -1),
+                                    delta_ref.shape[1:])
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -222,8 +235,8 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    lse = lse_ref[0][0:1, :].reshape(-1, 1)
+    delta = delta_ref[0][0:1, :].reshape(-1, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -263,8 +276,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    lse = lse_ref[0][0:1, :].reshape(-1, 1)
+    delta = delta_ref[0][0:1, :].reshape(-1, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -299,35 +312,31 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_fwd_rule(q, k, v, seed, scale, block_q, block_k, true_tk, rate):
-    out, m_out, l_out = _flash_call(q, k, v, seed, scale, block_q, block_k,
-                                    true_tk, rate)
-    return out, (q, k, v, seed, out, m_out, l_out)
+    out, lse = _flash_call(q, k, v, seed, scale, block_q, block_k,
+                           true_tk, rate)
+    return out, (q, k, v, seed, out, lse)
 
 
 def _flash_bwd_rule(scale, block_q, block_k, true_tk, rate, res, g):
-    q, k, v, seed, out, m_out, l_out = res
+    q, k, v, seed, out, lse = res
     bh, tq, d = q.shape
     tk = true_tk
     nq = tq // block_q
     nk = k.shape[1] // block_k
-    tq_pad = tq
 
-    out_p = out
-    g_p = g
-    q_p = q
-
-    # Stage 1: per-row lse and delta.
-    lse, delta = pl.pallas_call(
-        _out_stats_kernel,
+    # Stage 1: per-row delta = sum(dO * O), compact (BH, Tq).
+    delta = pl.pallas_call(
+        _delta_kernel,
         grid=(bh, nq),
-        in_specs=[pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM)] * 2 +
-                 [pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+        in_specs=[pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM)] * 2,
-        out_specs=[pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0),
-                                memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((bh, tq_pad, 128), jnp.float32)] * 2,
-    )(m_out, l_out, out_p, g_p)
+        out_specs=pl.BlockSpec((1, 8, block_q), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, nq * 8, block_q), jnp.float32),
+    )(out, g)
+
+    stat_spec = pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM)
 
     # Stage 2: dQ (accumulate over key blocks).
     dq = pl.pallas_call(
@@ -344,20 +353,20 @@ def _flash_bwd_rule(scale, block_q, block_k, true_tk, rate, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
+            stat_spec,
+            stat_spec,
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(seed, q_p, k, v, g_p, lse, delta)
+    )(seed, q, k, v, g, lse, delta)
 
     # Stage 3: dK/dV (accumulate over query blocks, innermost).
+    stat_spec_kv = pl.BlockSpec((1, 8, block_q), lambda b, j, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, tk=tk, block_k=block_k,
                           rate=rate),
@@ -372,10 +381,8 @@ def _flash_bwd_rule(scale, block_q, block_k, true_tk, rate, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
+            stat_spec_kv,
+            stat_spec_kv,
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
@@ -387,7 +394,7 @@ def _flash_bwd_rule(scale, block_q, block_k, true_tk, rate, res, g):
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(seed, q_p, k, v, g_p, lse, delta)
+    )(seed, q, k, v, g, lse, delta)
 
     return dq, dk, dv, jnp.zeros_like(seed)
 
@@ -402,12 +409,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     dropout_seed: jnp.ndarray | None = None) -> jnp.ndarray:
     """(B, H, Tq, dh) x (B, H, Tk, dh) -> (B, H, Tq, dh), flash-style.
 
-    Handles dh < 128 by zero-padding lanes (softmax scale uses the true dh)
-    and Tq/Tk not divisible by the block sizes by padding + masking.
+    The head dim runs as a native narrow block (no 128-lane padding); Tq/Tk
+    not divisible by the block sizes are padded + masked.
 
     With dropout_rate > 0, attention-probability dropout (torch MHA training
-    semantics) runs in-kernel from the hardware PRNG; `dropout_seed` must be
-    an int32 array of shape (1,) — the same seed reproduces the same mask.
+    semantics) runs in-kernel; `dropout_seed` must be an int32 array of
+    shape (1,) — the same seed reproduces the same mask.
     """
     b, h, tq, dh = q.shape
     tk = k.shape[2]
@@ -421,10 +428,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qf = q.reshape(b * h, tq, dh)
     kf = k.reshape(b * h, tk, dh)
     vf = v.reshape(b * h, tk, dh)
-    d_pad = max(128, _cdiv(dh, 128) * 128)
-    qf = _pad_to(qf, 2, d_pad)
-    kf = _pad_to(kf, 2, d_pad)
-    vf = _pad_to(vf, 2, d_pad)
     # Round the query block to a sublane multiple (16 covers bf16's
     # (16, 128) tile; fine for f32 too); key blocks to full lanes.
     bq = min(block_q, _cdiv(tq, 16) * 16)
@@ -435,4 +438,4 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     out = _flash(qf, kf, vf, dropout_seed.astype(jnp.int32).reshape(1),
                  scale, bq, bk, tk, rate)
-    return out[:, :tq, :dh].reshape(b, h, tq, dh)
+    return out[:, :tq, :].reshape(b, h, tq, dh)
