@@ -34,11 +34,14 @@ class ModelConfig:
     dropout: float = 0.1
 
     # --- TPU-native knobs (no reference counterpart) ---
-    # Kernel implementation selectors: 'xla' uses the pure-XLA lowering, 'pallas'
-    # swaps in the fused Pallas TPU kernel (each gated on allclose vs 'xla').
-    attn_impl: str = "xla"          # self/cross attention: 'xla' | 'pallas'
-    decoder_impl: str = "xla"       # fused mask MLP+sigmoid+apply: 'xla' | 'pallas'
-    proj_impl: str = "xla"          # audio conv1d input projection: 'xla' | 'pallas'
+    # Kernel implementation selectors: 'xla' uses the pure-XLA lowering,
+    # 'pallas' swaps in the fused Pallas TPU kernel (each gated on allclose
+    # vs 'xla'), and 'auto' (default) resolves at trace time — pallas on the
+    # TPU backend at production sequence lengths, xla elsewhere (measured
+    # crossovers: ops/attention.py, models/model.py `_resolve_fused_impl`).
+    attn_impl: str = "auto"         # self/cross attention: 'auto' | 'xla' | 'pallas'
+    decoder_impl: str = "auto"      # fused mask MLP+sigmoid+apply: 'auto' | 'xla' | 'pallas'
+    proj_impl: str = "auto"         # audio conv1d input projection: 'auto' | 'xla' | 'pallas'
     # Compute dtype for matmuls/activations; params stay float32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # Remat (activation checkpointing) for the transformer stacks.

@@ -6,12 +6,21 @@ attention is a pure function over already-projected Q/K/V; the QKV/out
 projections live in the model layer so the same op serves self-attention
 (audio/visual encoders) and cross-attention (audio-query over visual-KV).
 
-Two implementations, selected by `impl`:
-  - 'xla': einsum + softmax.  XLA fuses the softmax chain; for the short
-    sequences of this task (T<=512) this is at or near roofline already.
+Three implementations, selected by `impl`:
+  - 'xla': einsum + softmax.  XLA fuses the softmax chain; for short
+    sequences this is at or near roofline already, but its BACKWARD
+    materializes the (B*H, Tq, Tk) probabilities (f32) plus a same-shaped
+    dropout mask in HBM — measured at 42 ms of a 116 ms scaled-config
+    training step (bench_results/profile_scaled_b32_bf16.md).
   - 'pallas': blockwise flash-attention kernel (ops/pallas/attention.py) with
-    online softmax — O(T) memory, for long-utterance configs.  Gated on
-    allclose vs the 'xla' path in tests/test_kernels.py.
+    online softmax and in-kernel regenerable dropout — O(block) memory, the
+    backward recomputes probabilities in VMEM instead of re-reading them.
+    Gated on allclose vs the 'xla' path in tests/test_kernels.py.
+  - 'auto' (default): 'pallas' when tracing for TPU and the score matrix is
+    large enough that residual traffic dominates (Tq*Tk >= 256^2, the
+    measured crossover: flash wins 115.6 -> 79.1 ms/step at scaled T=501
+    but loses ~5% at demo T=63); 'xla' otherwise (including CPU/GPU
+    backends, where the Mosaic kernel doesn't compile).
 """
 
 from __future__ import annotations
@@ -57,11 +66,33 @@ def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+# Minimum Tq*Tk for 'auto' to pick the flash kernel: at/above this the
+# XLA path's materialized probability residuals + dropout masks dominate
+# the backward (measured on v5e, see module docstring); below it the dense
+# path's better small-shape pipelining wins.
+AUTO_MIN_SCORE_ELEMS = 256 * 256
+
+
+def resolve_attn_impl(impl: str, tq: int, tk: int) -> str:
+    """Resolve an attention impl selector at trace time.
+
+    'auto' -> 'pallas' on the TPU backend when the score matrix has at least
+    AUTO_MIN_SCORE_ELEMS elements, else 'xla'.  Explicit selectors pass
+    through unchanged.
+    """
+    if impl != "auto":
+        return impl
+    if jax.default_backend() != "tpu":
+        return "xla"
+    return "pallas" if tq * tk >= AUTO_MIN_SCORE_ELEMS else "xla"
+
+
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          nhead: int, *, impl: str = "xla",
                          dropout_rate: float = 0.0,
                          dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Projected-QKV multi-head attention on (B, T, d) tensors."""
+    impl = resolve_attn_impl(impl, q.shape[1], k.shape[1])
     qh, kh, vh = (split_heads(x, nhead) for x in (q, k, v))
     if impl == "pallas":
         from av_separation_tpu.ops.pallas.attention import flash_attention

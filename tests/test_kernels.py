@@ -360,3 +360,34 @@ class TestFlashAttentionDropout:
             an = float(jnp.vdot(gx, d))
             np.testing.assert_allclose(an, fd, rtol=2e-2,
                                        err_msg=f"d{name}")
+
+
+class TestAutoImplResolution:
+    """The 'auto' selector must resolve to 'xla' off-TPU (this CPU suite)
+    and respect explicit selectors unchanged; threshold logic is pure."""
+
+    def test_explicit_passthrough(self):
+        from av_separation_tpu.ops.attention import resolve_attn_impl
+        assert resolve_attn_impl("xla", 10_000, 10_000) == "xla"
+        assert resolve_attn_impl("pallas", 8, 8) == "pallas"
+
+    def test_auto_is_xla_on_cpu(self):
+        from av_separation_tpu.ops.attention import resolve_attn_impl
+        assert jax.default_backend() == "cpu"
+        assert resolve_attn_impl("auto", 501, 501) == "xla"
+
+    def test_fused_impl_auto_cpu(self):
+        from av_separation_tpu.models.model import _resolve_fused_impl
+        assert _resolve_fused_impl("auto", 501) == "xla"
+        assert _resolve_fused_impl("pallas", 8) == "pallas"
+        assert _resolve_fused_impl("xla", 501) == "xla"
+
+    def test_auto_threshold_logic(self, monkeypatch):
+        from av_separation_tpu.ops import attention as attn_mod
+        monkeypatch.setattr(attn_mod.jax, "default_backend", lambda: "tpu")
+        assert attn_mod.resolve_attn_impl("auto", 501, 501) == "pallas"
+        assert attn_mod.resolve_attn_impl("auto", 63, 63) == "xla"
+        from av_separation_tpu.models import model as model_mod
+        monkeypatch.setattr(model_mod.jax, "default_backend", lambda: "tpu")
+        assert model_mod._resolve_fused_impl("auto", 501) == "pallas"
+        assert model_mod._resolve_fused_impl("auto", 63) == "xla"

@@ -20,16 +20,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (config, impl, dtype, batch) — batch sized per config to fit HBM with the
 # fused pipeline's activation footprint (lrs2's 96x96 stem is the fattest).
 RUNS = [
-    ("demo", "xla", "bfloat16", 128),
-    ("demo", "pallas", "bfloat16", 128),
+    ("demo", "auto", "bfloat16", 128),
     ("demo", "xla", "float32", 128),
+    ("scaled", "auto", "bfloat16", 32),
     ("scaled", "xla", "bfloat16", 32),
-    ("scaled", "pallas", "bfloat16", 32),
-    ("three_speaker", "xla", "bfloat16", 64),
-    ("three_speaker", "pallas", "bfloat16", 64),
-    ("lrs2", "xla", "bfloat16", 16),
-    ("lrs2", "pallas", "bfloat16", 16),
-    ("multihost", "xla", "bfloat16", 16),
+    ("three_speaker", "auto", "bfloat16", 64),
+    ("lrs2", "auto", "bfloat16", 16),
+    ("multihost", "auto", "bfloat16", 16),
 ]
 
 QUICK_RUNS = [
