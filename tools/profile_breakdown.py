@@ -291,6 +291,44 @@ def main():
     timed("PIT loss (fwd only)", loss_fn, sep_fix, clean, k=k)
     timed_grad("PIT loss (fwd+bwd)", loss_fn, sep_fix, clean, k=k)
 
+    # Training-mode fwd+bwd per transformer component: attributes the
+    # backward-pass gap (full step minus ~3x forward) to attention residual
+    # traffic vs dropout-mask traffic vs everything else.  grad is wrt the
+    # params arg, so the full activation backward runs.
+    drng = jax.random.key(7, impl=cfg.train.rng_impl)
+
+    timed_grad("audio encoder fwd+bwd (eval)", aud, avars, mixed, k=k)
+
+    def aud_train(avars, mixed):
+        out = aenc.apply(avars, mixed, deterministic=False,
+                         rngs={"dropout": drng})
+        return (jnp.sum(out.astype(jnp.float32)),)
+    timed_grad("audio encoder fwd+bwd (train)", aud_train, avars, mixed, k=k)
+
+    timed_grad("fusion fwd+bwd (eval)", fuse, fvars, a_emb, v_emb, k=k)
+
+    def fuse_train(fvars, a_emb, v_emb):
+        out = fus.apply(fvars, a_emb, v_emb, deterministic=False,
+                        rngs={"dropout": drng})
+        return (jnp.sum(out.astype(jnp.float32)),)
+    timed_grad("fusion fwd+bwd (train)", fuse_train, fvars, a_emb, v_emb,
+               k=k)
+
+    def vis_train(vvars, frames):
+        out, _ = venc.apply(vvars, frames, d.num_stft_frames,
+                            deterministic=False, rngs={"dropout": drng},
+                            mutable=["batch_stats"])
+        return (jnp.sum(out.astype(jnp.float32)),)
+    timed_grad("visual encoder fwd+bwd (train)", vis_train, vvars, frames,
+               k=k)
+
+    def dec_train(dvars, fused_in, mixed):
+        sep, masks = dec.apply(dvars, fused_in, deterministic=False,
+                               rngs={"dropout": drng}, mixed_spec=mixed)
+        return (jnp.sum(sep.astype(jnp.float32)),)
+    timed_grad("decoder fwd+bwd (train)", dec_train, dvars, fused_in, mixed,
+               k=k)
+
     if args.json_out:
         with open(args.json_out, "a") as f:
             for r in RESULTS:
