@@ -27,9 +27,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mesh-fsdp", type=int, default=None,
                    help="ZeRO axis: shard params + Adam state over this "
                         "many devices")
+    p.add_argument("--mesh-seq", type=int, default=None,
+                   help="sequence-parallel axis: shard the audio time axis "
+                        "T over this many devices (long utterances)")
     p.add_argument("--mesh-model", type=int, default=None)
-    p.add_argument("--impl", choices=("xla", "pallas"), default=None,
-                   help="kernel implementation for attention+decoder")
+    p.add_argument("--impl", choices=("auto", "xla", "pallas"), default=None,
+                   help="kernel implementation for attention/projection/"
+                        "decoder; 'auto' picks by measured shape crossover "
+                        "(ops/policy.py)")
+    p.add_argument("--mode", choices=("fused", "per_step"), default=None,
+                   help="bench only: fused scan-train vs per-step dispatch")
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--steps", type=int, default=None)
@@ -48,6 +55,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the training loop")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(or set JAX_COORDINATOR_ADDRESS); on TPU pods "
+                        "jax.distributed auto-detects and this is not "
+                        "needed")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans: any NaN produced inside a "
                         "jitted step re-runs it op-by-op and raises "
@@ -97,11 +113,13 @@ def _build_config(args):
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, pit_mode=args.pit))
 
-    if args.mesh_data or args.mesh_fsdp or args.mesh_model:
+    if (args.mesh_data or args.mesh_fsdp or args.mesh_seq
+            or args.mesh_model):
         from av_separation_tpu.config import MeshConfig
         cfg = dataclasses.replace(
             cfg, mesh=MeshConfig(data=args.mesh_data or 1,
                                  fsdp=args.mesh_fsdp or 1,
+                                 seq=args.mesh_seq or 1,
                                  model=args.mesh_model or 1))
     return cfg
 
@@ -117,11 +135,42 @@ def _force_cpu_if(args) -> None:
         jax.config.update("jax_debug_nans", True)
 
 
-def _mesh_or_none(cfg):
+def _init_multihost(args) -> None:
+    """Join a multi-host job when coordinator flags/env are present.  Must
+    run BEFORE any jax device access.  No-op for single-process runs."""
+    import os
+    if (args.coordinator or args.num_processes is not None
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        from av_separation_tpu.parallel.distributed import initialize
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
+
+
+def _mesh_or_none(cfg, args=None):
+    """Build the device mesh: the flag/config mesh on a single host; on a
+    multi-process job, a global mesh over every host's devices (defaulting
+    to pure DP over all devices when no mesh was configured)."""
+    import jax
+
     from av_separation_tpu.parallel.mesh import make_mesh
+    if jax.process_count() > 1:
+        import dataclasses
+
+        from av_separation_tpu.config import MeshConfig
+        from av_separation_tpu.parallel.distributed import global_mesh
+        mesh_cfg = cfg.mesh
+        if mesh_cfg.num_devices != jax.device_count():
+            if mesh_cfg.num_devices == 1:  # unconfigured: DP over the job
+                mesh_cfg = MeshConfig(data=jax.device_count())
+            else:
+                sys.exit(f"avsep: mesh {mesh_cfg} needs "
+                         f"{mesh_cfg.num_devices} devices but the job has "
+                         f"{jax.device_count()}")
+        return global_mesh(mesh_cfg), mesh_cfg
     if cfg.mesh.num_devices > 1:
-        return make_mesh(cfg.mesh)
-    return None
+        return make_mesh(cfg.mesh), cfg.mesh
+    return None, cfg.mesh
 
 
 def _batches(cfg):
@@ -150,7 +199,7 @@ def _batches(cfg):
     return batch_iterator(ds, cfg.train.batch_size, seed=cfg.train.seed)
 
 
-def _eval_runner(cfg, model):
+def _eval_runner(cfg, model, mesh=None):
     """Lazily-built SNR eval over 20 deterministic host samples; returns a
     closure (state) -> metrics dict."""
     import jax.numpy as jnp
@@ -161,7 +210,7 @@ def _eval_runner(cfg, model):
 
     ds = SyntheticAVDataset(cfg.data)
     batch = {k: jnp.asarray(v) for k, v in eval_batch(ds, 20).items()}
-    eval_fn = make_eval_step(model)
+    eval_fn = make_eval_step(model, mesh)
 
     def run(state):
         m = eval_fn(state.params, state.batch_stats, batch)
@@ -175,6 +224,7 @@ def _eval_runner(cfg, model):
 
 def cmd_train(args) -> int:
     _force_cpu_if(args)
+    _init_multihost(args)
     import contextlib
 
     import jax
@@ -185,11 +235,19 @@ def cmd_train(args) -> int:
         Timer, step_metrics_line, trace)
 
     cfg = _build_config(args)
-    mesh = _mesh_or_none(cfg)
-    print(f"config={cfg.name} backend={jax.default_backend()} "
-          f"devices={jax.device_count()} "
-          f"mesh={'%dx%d' % (cfg.mesh.data, cfg.mesh.model) if mesh else '1'}",
-          file=sys.stderr)
+    mesh, mesh_cfg = _mesh_or_none(cfg, args)
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    is_main = pid == 0
+
+    def say(*a, **kw):
+        if is_main:
+            print(*a, **kw)
+
+    say(f"config={cfg.name} backend={jax.default_backend()} "
+        f"devices={jax.device_count()} processes={nproc} "
+        f"mesh={'%dx%dx%dx%d' % (mesh_cfg.data, mesh_cfg.fsdp, mesh_cfg.seq, mesh_cfg.model) if mesh else '1'}",
+        file=sys.stderr)
 
     model, state = create_train_state(cfg, mesh)
     start_step = 0
@@ -198,33 +256,51 @@ def cmd_train(args) -> int:
         state = restore_checkpoint(cfg.train.checkpoint_dir, state)
         start_step = int(state.step)
         if start_step:
-            print(f"resumed from step {start_step}", file=sys.stderr)
+            say(f"resumed from step {start_step}", file=sys.stderr)
 
-    evaluate = _eval_runner(cfg, model) if args.eval_every else None
-    ctx = trace(args.profile_dir) if args.profile_dir \
+    evaluate = _eval_runner(cfg, model, mesh) if args.eval_every else None
+    ctx = trace(args.profile_dir) if args.profile_dir and is_main \
         else contextlib.nullcontext()
 
     with ctx, (mesh or contextlib.nullcontext()):
         if args.fused:
             state, metrics = _fused_train(args, cfg, mesh, model, state,
-                                          start_step, evaluate)
+                                          start_step, evaluate, say)
         else:
             step_fn = make_train_step(model, cfg, mesh)
             batches = _batches(cfg)
+            if nproc > 1:
+                from av_separation_tpu.parallel.distributed import (
+                    host_local_batch_to_global)
+                if cfg.train.batch_size % nproc:
+                    sys.exit(f"avsep: batch_size {cfg.train.batch_size} "
+                             f"not divisible by {nproc} processes")
+                local_b = cfg.train.batch_size // nproc
+
+                def to_device(batch):
+                    # Every process iterates the same deterministic global
+                    # stream and keeps only its rows; make_array_from_
+                    # process_local_data stitches them without any
+                    # cross-host transfer.
+                    local = {k: v[pid * local_b:(pid + 1) * local_b]
+                             for k, v in batch.items()}
+                    return host_local_batch_to_global(local, mesh)
+            else:
+                def to_device(batch):
+                    return {k: jnp.asarray(v) for k, v in batch.items()}
             timer = Timer()
             for i in range(start_step, cfg.train.steps):
-                batch = next(batches)
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = to_device(next(batches))
                 state, metrics = step_fn(state, batch)
                 if cfg.train.log_every and (i + 1) % cfg.train.log_every == 0:
                     dt = timer.elapsed(metrics["loss"])
                     audio_s = ((i + 1 - start_step) * cfg.train.batch_size
                                * cfg.data.duration)
-                    print(step_metrics_line(
+                    say(step_metrics_line(
                         i + 1, metrics,
                         {"audio_s_per_s": round(audio_s / dt, 2)}))
                 if evaluate and (i + 1) % args.eval_every == 0:
-                    print(step_metrics_line(i + 1, evaluate(state)))
+                    say(step_metrics_line(i + 1, evaluate(state)))
                 if (cfg.train.checkpoint_dir and cfg.train.checkpoint_every
                         and (i + 1) % cfg.train.checkpoint_every == 0):
                     from av_separation_tpu.utils.checkpoint import (
@@ -237,6 +313,8 @@ def cmd_train(args) -> int:
                 dt = timer.elapsed(metrics["loss"])
                 audio_s = ((cfg.train.steps - start_step)
                            * cfg.train.batch_size * cfg.data.duration)
+                # Printed by every process in multi-host tests so each
+                # worker's loss can be compared; is_main gates the rest.
                 print(json.dumps({
                     "final_step": cfg.train.steps,
                     "loss": round(float(metrics["loss"]), 4),
@@ -248,10 +326,22 @@ def cmd_train(args) -> int:
         save_checkpoint(cfg.train.checkpoint_dir, int(state.step), state,
                         wait=True)
         print(f"saved checkpoint at step {int(state.step)}", file=sys.stderr)
+    if nproc > 1:
+        # Sync all processes before teardown, then shut the coordination
+        # service down explicitly: without this, the first process to exit
+        # kills the coordinator while peers are still draining and they
+        # stall in connection-retry loops (observed on the 2-process CPU
+        # job; same pattern as tests/distributed_worker.py:85).
+        from av_separation_tpu.parallel.distributed import barrier
+        try:
+            barrier(timeout_s=120.0)
+        finally:
+            jax.distributed.shutdown()
     return 0
 
 
-def _fused_train(args, cfg, mesh, model, state, start_step, evaluate):
+def _fused_train(args, cfg, mesh, model, state, start_step, evaluate,
+                 say=print):
     """Scan-fused training: K steps per XLA dispatch with on-device data
     generation (train.py make_fused_train_steps — the path that makes
     bench.py's throughput), syncing with the host only at segment
@@ -287,11 +377,11 @@ def _fused_train(args, cfg, mesh, model, state, start_step, evaluate):
             dt = timer.elapsed(loss)  # host sync point
             audio_s = (step - start_step) * cfg.train.batch_size \
                 * cfg.data.duration
-            print(step_metrics_line(
+            say(step_metrics_line(
                 step, metrics, {"audio_s_per_s": round(audio_s / dt, 2),
                                 "fused_segment": k}))
         if evaluate and args.eval_every and step % args.eval_every == 0:
-            print(step_metrics_line(step, evaluate(state)))
+            say(step_metrics_line(step, evaluate(state)))
         if (cfg.train.checkpoint_dir and cfg.train.checkpoint_every
                 and step % cfg.train.checkpoint_every == 0):
             from av_separation_tpu.utils.checkpoint import save_checkpoint
@@ -397,6 +487,12 @@ def cmd_bench(args) -> int:
         cmd += ["--impl", args.impl]
     if args.dtype:
         cmd += ["--dtype", args.dtype]
+    if args.mode:
+        cmd += ["--mode", args.mode]
+    for axis in ("data", "fsdp", "seq", "model"):
+        v = getattr(args, f"mesh_{axis}")
+        if v:
+            cmd += [f"--mesh-{axis}", str(v)]
     return subprocess.call(cmd)
 
 

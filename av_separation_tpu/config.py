@@ -117,16 +117,22 @@ class MeshConfig:
       inserts the gathers / reduce-scatters from the shardings alone); the
       batch is additionally sharded over it, so 'fsdp' behaves as a second
       data axis whose memory footprint scales down with its size.
+    - 'seq'   : sequence parallelism — activations' time axis T is sharded
+      for long utterances (SURVEY §2.4 SP row); attention runs as a
+      shard_map all-gather-KV program over this axis
+      (ops/attention.py `_attn_seq_sharded`), everything else is
+      partitioned by GSPMD from the time-axis constraints in the model.
     - 'model' : tensor-parallel shard of d_model/FFN weight matrices (TP).
     """
 
     data: int = 1
     fsdp: int = 1
+    seq: int = 1
     model: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.fsdp * self.model
+        return self.data * self.fsdp * self.seq * self.model
 
 
 @dataclass(frozen=True)

@@ -42,15 +42,32 @@ def _cdt(cfg: ModelConfig):
 
 def _resolve_fused_impl(impl: str, seq_len: int) -> str:
     """Trace-time resolution of the 'auto' selector for the fused Pallas
-    projection/decoder kernels: pallas on TPU at production sequence lengths
-    (where the fused VMEM passes measurably win — scaled-config step
-    70.4 -> 68.3 ms), xla on other backends and at short-T demo shapes
-    (where the sweep measured the dense path faster)."""
-    if impl != "auto":
-        return impl
-    if jax.default_backend() != "tpu" or seq_len < 256:
-        return "xla"
-    return "pallas"
+    projection/decoder kernels — delegates to ops/policy.py, the single
+    owner of the measured FUSED_MIN_SEQ crossover."""
+    from av_separation_tpu.ops.policy import resolve_fused
+    return resolve_fused(impl, seq_len)
+
+
+def _seq_constraint(x: jnp.ndarray, time_axis: int) -> jnp.ndarray:
+    """Pin a tensor's time axis to the 'seq' mesh axis (sequence
+    parallelism, SURVEY §2.4 SP row).  No-op unless the active mesh has a
+    non-trivial 'seq' axis that divides the time dim; GSPMD propagates the
+    T-sharded layout to every op between the constrained points and inserts
+    the halo/gather collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from av_separation_tpu.ops import policy
+    mesh = policy.active_mesh()
+    if mesh is None:
+        return x
+    n_seq = policy.mesh_axis_size(mesh, "seq")
+    if n_seq <= 1 or x.shape[time_axis] % n_seq:
+        return x
+    spec = [None] * x.ndim
+    spec[0] = ("data", "fsdp")
+    spec[time_axis] = "seq"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
 
 
 def _conv(features: int, kernel, strides, padding, name: str,
@@ -106,6 +123,7 @@ class AudioEncoder(nn.Module):
                     padding=[(1, 1)],
                     dimension_numbers=("NWC", "WIO", "NWC"))
                 h = nn.relu(h + bias.astype(h.dtype))
+        h = _seq_constraint(h, 1)
         h = PositionalEncoding(cfg.d_model, cfg.dropout, name="pos_enc")(
             h, deterministic=deterministic)
         h = TransformerEncoder(cfg.d_model, cfg.nhead, cfg.num_encoder_layers,
@@ -291,7 +309,11 @@ class AVSeparationTransformer(nn.Module):
         audio_emb = self.audio_encoder(mixed_c, deterministic=deterministic)
         visual_emb = self.visual_encoder(lip_frames.astype(dtype), t,
                                          deterministic=deterministic)
+        # Sequence parallelism: keep the audio-rate time axis sharded over
+        # 'seq' through fusion and the decoder (no-op on seq=1 meshes).
+        visual_emb = _seq_constraint(visual_emb, 1)
         fused = self.fusion(audio_emb, visual_emb, deterministic=deterministic)
+        fused = _seq_constraint(fused, 1)
         separated, masks = self.decoder(
             fused.astype(jnp.float32), deterministic=deterministic,
             mixed_spec=mixed_spec)

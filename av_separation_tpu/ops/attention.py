@@ -30,6 +30,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from av_separation_tpu.ops import policy
+from av_separation_tpu.ops.policy import AUTO_MIN_SCORE_ELEMS  # noqa: F401 (re-export)
+
 
 def split_heads(x: jnp.ndarray, nhead: int) -> jnp.ndarray:
     """(B, T, d) -> (B, H, T, dh)"""
@@ -66,25 +69,119 @@ def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-# Minimum Tq*Tk for 'auto' to pick the flash kernel: at/above this the
-# XLA path's materialized probability residuals + dropout masks dominate
-# the backward (measured on v5e, see module docstring); below it the dense
-# path's better small-shape pipelining wins.
-AUTO_MIN_SCORE_ELEMS = 256 * 256
-
-
 def resolve_attn_impl(impl: str, tq: int, tk: int) -> str:
-    """Resolve an attention impl selector at trace time.
+    """Resolve an attention impl selector at trace time (see ops/policy.py,
+    the single owner of the measured AUTO_MIN_SCORE_ELEMS crossover)."""
+    return policy.resolve_attention(impl, tq, tk)
 
-    'auto' -> 'pallas' on the TPU backend when the score matrix has at least
-    AUTO_MIN_SCORE_ELEMS elements, else 'xla'.  Explicit selectors pass
-    through unchanged.
+
+def _flash_sharded(qh, kh, vh, mesh, dropout_rate: float,
+                   seed: Optional[jnp.ndarray]):
+    """Run the flash kernel under a sharded mesh via shard_map.
+
+    GSPMD cannot partition a pallas_call — inside a sharded jit the kernel
+    would be replicated behind an all-gather of Q/K/V.  shard_map instead
+    hands each device exactly its (batch-shard, head-shard) block: batch
+    over the ('data','fsdp') axes, heads over the TP 'model' axis (the q/k/v
+    projections are column-sharded by PARAM_RULES, so heads already live on
+    the model axis and no resharding is inserted).  Returns None when the
+    mesh cannot divide the batch/head axes — caller falls back to XLA.
     """
-    if impl != "auto":
-        return impl
-    if jax.default_backend() != "tpu":
-        return "xla"
-    return "pallas" if tq * tk >= AUTO_MIN_SCORE_ELEMS else "xla"
+    from jax.sharding import PartitionSpec as P
+
+    from av_separation_tpu.ops.pallas.attention import flash_attention
+
+    b, h = qh.shape[0], qh.shape[1]
+    data_axes = tuple(a for a in ("data", "fsdp")
+                      if policy.mesh_axis_size(mesh, a) > 1)
+    model_sz = policy.mesh_axis_size(mesh, "model")
+    if b % max(policy.mesh_axis_size(mesh, *data_axes), 1) != 0:
+        return None
+    if model_sz > 1 and h % model_sz != 0:
+        return None
+    batch_spec = data_axes if data_axes else None
+    head_spec = "model" if model_sz > 1 else None
+    spec = P(batch_spec, head_spec, None, None)
+    rate = float(dropout_rate)
+
+    def local(q_blk, k_blk, v_blk, seed_blk):
+        if rate > 0.0:
+            # Decorrelate the in-kernel PRNG stream across shards: local
+            # (b, h) tile coordinates restart at 0 on every device, so fold
+            # the device's mesh position into the seed.
+            pos = jnp.zeros((), jnp.int32)
+            for ax in (*data_axes, *(("model",) if model_sz > 1 else ())):
+                pos = pos * jnp.int32(mesh.shape[ax]) \
+                    + jax.lax.axis_index(ax)
+            # 0x9E3779B1 as a wrapped int32 (golden-ratio multiplier).
+            seed_local = seed_blk + pos * jnp.int32(0x9E3779B1 - (1 << 32))
+            return flash_attention(q_blk, k_blk, v_blk, dropout_rate=rate,
+                                   dropout_seed=seed_local)
+        return flash_attention(q_blk, k_blk, v_blk)
+
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(spec, spec, spec, P()),
+                         out_specs=spec,
+                         check_vma=False)(qh, kh, vh, seed)
+
+
+def _attn_seq_sharded(qh, kh, vh, mesh, impl: str, dropout_rate: float,
+                      dropout_rng, seed):
+    """Sequence-parallel attention over the 'seq' mesh axis via shard_map.
+
+    Q stays sharded along its time axis; K/V are all-gathered over ICI
+    before a local attention (Ulysses/all-gather-KV style — SURVEY §2.4 SP
+    row: at this model's T the gathered KV is small next to the O(T^2)
+    score work that stays sharded).  Local attention uses the resolved impl
+    (flash kernel or dense XLA); dropout streams are decorrelated per shard
+    by folding the seq-axis index into the rng/seed.  Returns None when the
+    time axes don't divide the axis — caller falls back to GSPMD.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_seq = policy.mesh_axis_size(mesh, "seq")
+    if qh.shape[2] % n_seq or kh.shape[2] % n_seq:
+        return None
+    b, h = qh.shape[0], qh.shape[1]
+    data_axes = tuple(a for a in ("data", "fsdp")
+                      if policy.mesh_axis_size(mesh, a) > 1)
+    model_sz = policy.mesh_axis_size(mesh, "model")
+    if b % max(policy.mesh_axis_size(mesh, *data_axes), 1) != 0:
+        return None
+    if model_sz > 1 and h % model_sz != 0:
+        return None
+    head_spec = "model" if model_sz > 1 else None
+    spec = P(data_axes if data_axes else None, head_spec, "seq", None)
+    rate = float(dropout_rate)
+
+    def local(q_blk, k_blk, v_blk, rng_blk, seed_blk):
+        k_full = jax.lax.all_gather(k_blk, "seq", axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v_blk, "seq", axis=2, tiled=True)
+        idx = jax.lax.axis_index("seq")
+        if impl == "pallas":
+            from av_separation_tpu.ops.pallas.attention import (
+                flash_attention)
+            if rate > 0.0:
+                seed_local = seed_blk + (idx.astype(jnp.int32) + 1) \
+                    * jnp.int32(0x9E3779B1 - (1 << 32))
+                return flash_attention(q_blk, k_full, v_full,
+                                       dropout_rate=rate,
+                                       dropout_seed=seed_local)
+            return flash_attention(q_blk, k_full, v_full)
+        rng_local = jax.random.fold_in(rng_blk, idx) \
+            if rate > 0.0 else None
+        return attention_xla(q_blk, k_full, v_full, rate, rng_local)
+
+    if dropout_rng is None:
+        dropout_rng = jax.random.key(0)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(spec, spec, spec, P(), P()),
+                         out_specs=spec,
+                         check_vma=False)(qh, kh, vh, dropout_rng, seed)
 
 
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -92,18 +189,46 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          dropout_rate: float = 0.0,
                          dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Projected-QKV multi-head attention on (B, T, d) tensors."""
-    impl = resolve_attn_impl(impl, q.shape[1], k.shape[1])
+    impl = policy.resolve_attention(impl, q.shape[1], k.shape[1])
     qh, kh, vh = (split_heads(x, nhead) for x in (q, k, v))
-    if impl == "pallas":
-        from av_separation_tpu.ops.pallas.attention import flash_attention
-        if dropout_rate > 0.0 and dropout_rng is not None:
-            # In-kernel probability dropout: the hardware PRNG regenerates
-            # the mask per tile in fwd and bwd, so the T x T mask never
-            # materializes.  The kernel's stream is seeded from the step's
-            # dropout key (distribution-equivalent to XLA-path dropout; no
-            # bit-parity requirement between impls).
+    mesh_for_seq = policy.active_mesh()
+    if (mesh_for_seq is not None
+            and policy.mesh_axis_size(mesh_for_seq, "seq") > 1):
+        seed = None
+        if impl == "pallas" and dropout_rate > 0.0 \
+                and dropout_rng is not None:
             seed = jax.random.bits(dropout_rng, (1,), "uint32") \
                 .astype(jnp.int32)
+        if dropout_rng is None:
+            dropout_rate = 0.0
+        out = _attn_seq_sharded(qh, kh, vh, mesh_for_seq, impl,
+                                dropout_rate, dropout_rng, seed)
+        if out is not None:
+            return merge_heads(out)
+        if impl == "pallas":
+            # Indivisible time axis: the only safe lowering under a sharded
+            # mesh is the GSPMD-partitionable XLA path.
+            impl = "xla"
+    if impl == "pallas":
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        seed = None
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            # In-kernel probability dropout: the mask is regenerated per
+            # tile in fwd and bwd, so the T x T mask never materializes.
+            # The kernel's stream is seeded from the step's dropout key
+            # (distribution-equivalent to XLA-path dropout; no bit-parity
+            # requirement between impls).
+            seed = jax.random.bits(dropout_rng, (1,), "uint32") \
+                .astype(jnp.int32)
+        else:
+            dropout_rate = 0.0
+        mesh = policy.active_mesh()
+        if mesh is not None and policy.mesh_axis_size(
+                mesh, "data", "fsdp", "model") > 1:
+            out = _flash_sharded(qh, kh, vh, mesh, dropout_rate, seed)
+            if out is None:  # mesh can't divide batch/heads — GSPMD path
+                out = attention_xla(qh, kh, vh, dropout_rate, dropout_rng)
+        elif dropout_rate > 0.0:
             out = flash_attention(qh, kh, vh, dropout_rate=dropout_rate,
                                   dropout_seed=seed)
         else:

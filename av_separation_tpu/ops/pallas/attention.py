@@ -116,8 +116,13 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    # Matmuls run on NATIVE-dtype operands with f32 accumulation
+    # (preferred_element_type): with bf16 inputs the MXU runs at full bf16
+    # rate instead of multi-pass f32 (~4x), and the numerics match the XLA
+    # path exactly (attention_xla also feeds bf16 operands into an
+    # f32-accumulating einsum).  Softmax statistics stay f32 in the VPU.
+    q = q_ref[0]
+    k = k_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
@@ -141,9 +146,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                           p.shape, rate)
         p = jnp.where(keep, p, 0.0)
 
-    v = v_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    # p quantizes to the value dtype before PV, as the XLA path does
+    # (attention_xla: probs.astype(v.dtype)).
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     m_scr[:] = m_new
     l_scr[:] = l_new
 
@@ -231,10 +238,11 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # Native-dtype matmul operands, f32 accumulation (see _fwd_kernel).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][0:1, :].reshape(-1, 1)
     delta = delta_ref[0][0:1, :].reshape(-1, 1)
 
@@ -254,7 +262,8 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         # in for dP (see module docstring — delta is dropout-exact).
         dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
     ds = p * (dp - delta) * scale
-    acc_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    acc_scr[:] += jnp.dot(ds.astype(k.dtype), k,
+                          preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
     def _():
@@ -272,10 +281,11 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # Native-dtype matmul operands, f32 accumulation (see _fwd_kernel).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][0:1, :].reshape(-1, 1)
     delta = delta_ref[0][0:1, :].reshape(-1, 1)
 
@@ -295,14 +305,16 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         pd = jnp.where(keep, p / (1.0 - rate), 0.0)
     else:
         pd = p
-    dv_scr[:] += jax.lax.dot_general(pd, do, (((0,), (0,)), ((), ())),
+    dv_scr[:] += jax.lax.dot_general(pd.astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if rate > 0.0:
         dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
     ds = p * (dp - delta) * scale  # (bq, bk)
-    dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+    dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
     @pl.when(i == nq - 1)

@@ -1,0 +1,147 @@
+"""Kernel-implementation policy: the single source of truth for 'auto'.
+
+Every measured crossover that decides between the XLA lowering and a fused
+Pallas kernel lives HERE, with a pointer to the bench artifact that set it.
+Both consumers — `ops/attention.py` (flash attention) and `models/model.py`
+(fused audio projection / mask decoder) — resolve through this module, so
+the thresholds cannot drift apart.
+
+The reference has no notion of kernel selection (it is eager PyTorch,
+reference model.py:22-301); this layer exists because the TPU build ships
+two lowerings per hot op and picks by measured shape crossover.
+
+Platform resolution
+-------------------
+'auto' must know whether the program is being lowered for TPU (where the
+Mosaic kernels compile) or CPU/GPU (where they don't).  By default this is
+`jax.default_backend()`, which is correct for every in-process path this
+framework ships (jit on the process backend).  KNOWN LIMITATION: AOT
+lowering for a *different* platform than the process default (e.g.
+`jax.jit(...).lower()` targeting TPU from a CPU host, or
+`jax.default_device` pointing at a non-default backend) would resolve
+against the wrong platform.  For those flows, pin the platform explicitly:
+
+    with policy.target_platform("tpu"):
+        lowered = jax.jit(step).lower(...)
+
+Mesh awareness
+--------------
+`pallas_call` is a custom call that GSPMD cannot partition: inside a
+sharded jit it would be replicated (all-gather of Q/K/V, then a full dense
+kernel per device) — silently catastrophic.  Train-step builders therefore
+wrap tracing in `policy.use_mesh(mesh)`; the attention layer consults
+`policy.active_mesh()` and routes the flash kernel through `jax.shard_map`
+(batch over the data axes, heads over the model axis) so every device runs
+the kernel on exactly its own shard.  When the mesh cannot divide the
+batch/head axes the resolver falls back to 'xla', which GSPMD partitions
+natively.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+from typing import Optional
+
+import jax
+
+# Minimum Tq*Tk for 'auto' attention to pick the flash kernel.  At/above
+# this the XLA path's materialized probability residuals + dropout masks
+# dominate the backward; below it the dense path's better small-shape
+# pipelining wins.  Provenance: v5e bench sweep, scaled config T=501
+# (flash 115.6 -> 79.1 ms/step win) vs demo T=63 (flash ~5% loss) —
+# bench_results/sweep.jsonl rows {config: scaled, impl: auto vs xla} and
+# {config: demo, impl: auto vs xla}.
+AUTO_MIN_SCORE_ELEMS = 256 * 256
+
+# Minimum sequence length for 'auto' to pick the fused Pallas audio
+# projection / mask decoder kernels.  Provenance: v5e sweep — scaled-config
+# step 70.4 -> 68.3 ms with the fused VMEM passes at T=501; at demo T=63
+# the dense XLA path measured faster (bench_results/sweep.jsonl).
+FUSED_MIN_SEQ = 256
+
+
+_state = threading.local()
+
+
+def _get(name: str, default=None):
+    return getattr(_state, name, default)
+
+
+@contextmanager
+def target_platform(platform: str):
+    """Pin the lowering-target platform for 'auto' resolution (see module
+    docstring: needed only for cross-platform AOT lowering)."""
+    prev = _get("platform")
+    _state.platform = platform
+    try:
+        yield
+    finally:
+        _state.platform = prev
+
+
+def resolved_platform() -> str:
+    return _get("platform") or jax.default_backend()
+
+
+@contextmanager
+def use_mesh(mesh):
+    """Declare the mesh a jitted program is being traced under.  Train-step
+    builders wrap the traced body in this so trace-time resolution can route
+    Pallas kernels through shard_map (or fall back to XLA) instead of
+    letting GSPMD replicate an unpartitionable custom call."""
+    prev = _get("mesh")
+    _state.mesh = mesh
+    try:
+        yield
+    finally:
+        _state.mesh = prev
+
+
+def active_mesh():
+    """The mesh declared by the innermost `use_mesh`, or None."""
+    return _get("mesh")
+
+
+def mesh_axis_size(mesh, *names: str) -> int:
+    """Product of the sizes of `names` axes present on `mesh`."""
+    if mesh is None:
+        return 1
+    n = 1
+    for name in names:
+        n *= int(mesh.shape.get(name, 1))
+    return n
+
+
+def resolve_attention(impl: str, tq: int, tk: int) -> str:
+    """Trace-time resolution of the attention impl selector.
+
+    'auto' -> 'pallas' when lowering for TPU and the score matrix has at
+    least AUTO_MIN_SCORE_ELEMS elements; 'xla' otherwise.  Explicit
+    selectors pass through unchanged.  (Sharded-mesh routing happens in
+    `ops.attention.multi_head_attention`, which consults `active_mesh()`.)
+    """
+    if impl != "auto":
+        return impl
+    if resolved_platform() != "tpu":
+        return "xla"
+    return "pallas" if tq * tk >= AUTO_MIN_SCORE_ELEMS else "xla"
+
+
+def resolve_fused(impl: str, seq_len: int) -> str:
+    """Trace-time resolution for the fused projection/decoder kernels:
+    'auto' -> 'pallas' on TPU at seq_len >= FUSED_MIN_SEQ, else 'xla'.
+
+    Under a sharded mesh 'auto' falls back to 'xla' for these kernels: the
+    sequence axis is not a sharded dim (batch is), but GSPMD cannot
+    partition the pallas_call over the batch axis either — XLA's native
+    lowering partitions for free and the fused kernels' margin (~3%) does
+    not justify a shard_map wrapper yet.
+    """
+    if impl != "auto":
+        return impl
+    if resolved_platform() != "tpu" or seq_len < FUSED_MIN_SEQ:
+        return "xla"
+    if mesh_axis_size(active_mesh(), "data", "fsdp", "model") > 1:
+        return "xla"
+    return "pallas"

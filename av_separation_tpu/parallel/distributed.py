@@ -89,7 +89,7 @@ def barrier(timeout_s: float = 60.0) -> None:
     a side thread so a lost host surfaces as TimeoutError instead of a hang.
     """
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     result = {}

@@ -62,19 +62,21 @@ BATCH_SPEC = P(("data", "fsdp"))
 
 
 def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ('data', 'fsdp', 'model') mesh from the first
-    data*fsdp*model devices.  Axis order puts 'model' innermost (contiguous
-    devices -> ICI-adjacent on real slices) and 'data' outermost (its psum is
-    the only collective that may cross DCN on multi-host jobs)."""
+    """Build a ('data', 'fsdp', 'seq', 'model') mesh from the first
+    data*fsdp*seq*model devices.  Axis order puts 'model' innermost
+    (contiguous devices -> ICI-adjacent on real slices), 'seq' next (its
+    per-layer KV all-gathers also ride ICI) and 'data' outermost (its psum
+    is the only collective that may cross DCN on multi-host jobs)."""
     if devices is None:
         devices = jax.devices()
     n = cfg.num_devices
     if len(devices) < n:
         raise ValueError(
-            f"mesh {cfg.data}x{cfg.fsdp}x{cfg.model} needs {n} devices, "
-            f"have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.fsdp, cfg.model)
-    return Mesh(arr, ("data", "fsdp", "model"))
+            f"mesh {cfg.data}x{cfg.fsdp}x{cfg.seq}x{cfg.model} needs {n} "
+            f"devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.fsdp, cfg.seq,
+                                          cfg.model)
+    return Mesh(arr, ("data", "fsdp", "seq", "model"))
 
 
 def single_device_mesh() -> Mesh:

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from av_separation_tpu.config import ExperimentConfig
 from av_separation_tpu.losses import separation_loss
 from av_separation_tpu.models.model import AVSeparationTransformer
+from av_separation_tpu.ops import policy
 from av_separation_tpu.parallel.mesh import param_shardings, replicated
 
 
@@ -87,7 +88,7 @@ def create_train_state(cfg: ExperimentConfig, mesh: Optional[Mesh] = None,
                                        abstract.params, p_sh),
         rng=NamedSharding(mesh, P()),
     )
-    with mesh:
+    with mesh, policy.use_mesh(mesh):
         state = jax.jit(init_fn, out_shardings=out_sh)(rng)
     return model, state
 
@@ -167,7 +168,15 @@ def make_train_step(model: AVSeparationTransformer, cfg: ExperimentConfig,
     from av_separation_tpu.parallel.mesh import BATCH_SPEC
     batch_spec = {k: NamedSharding(mesh, BATCH_SPEC)
                   for k in ("mixed_spec", "lip_frames", "clean_specs")}
-    return jax.jit(step_fn, donate_argnums=(0,),
+
+    def step_sharded(state, batch):
+        # Declare the mesh for trace-time kernel policy: Pallas kernels
+        # route through shard_map (or fall back to XLA) instead of letting
+        # GSPMD replicate an unpartitionable custom call (ops/policy.py).
+        with policy.use_mesh(mesh):
+            return step_fn(state, batch)
+
+    return jax.jit(step_sharded, donate_argnums=(0,),
                    in_shardings=(None, batch_spec))
 
 
@@ -205,22 +214,25 @@ def make_fused_train_steps(model: AVSeparationTransformer,
         return state, metrics["loss"]
 
     def multi(state):
-        state, losses = jax.lax.scan(body, state, None,
-                                     length=steps_per_call)
+        with policy.use_mesh(mesh):
+            state, losses = jax.lax.scan(body, state, None,
+                                         length=steps_per_call)
         return state, losses[-1]
 
     return jax.jit(multi, donate_argnums=(0,))
 
 
-def make_eval_step(model: AVSeparationTransformer) -> Callable:
+def make_eval_step(model: AVSeparationTransformer,
+                   mesh: Optional[Mesh] = None) -> Callable:
     """Jitted eval: (variables, batch) -> dict of SNR metrics."""
     from av_separation_tpu.utils.metrics import input_snr, permutation_snr
 
     @jax.jit
     def eval_fn(params, batch_stats, batch):
-        separated, masks = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["mixed_spec"], batch["lip_frames"], deterministic=True)
+        with policy.use_mesh(mesh):
+            separated, masks = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["mixed_spec"], batch["lip_frames"], deterministic=True)
         return {
             "input_snr": jnp.mean(
                 input_snr(batch["mixed_spec"], batch["clean_specs"])),

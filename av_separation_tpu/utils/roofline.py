@@ -1,20 +1,56 @@
-"""Analytic FLOP accounting and roofline reporting.
+"""Analytic FLOP/byte accounting and roofline reporting.
 
 The reference has no performance tooling at all (SURVEY.md §5); this module
-prices a training step analytically from the config so bench.py can report
-achieved FLOP/s against the chip's peak — the "speed-of-light" yardstick for
-kernel work.
+prices a training step so bench.py can report achieved throughput against
+the chip's *roofline* — min(compute-bound, bandwidth-bound) time — rather
+than raw FLOP peak alone.  A small model at short sequence lengths is HBM
+bandwidth-bound: its honest speed-of-light is bytes/BW, and judging it
+against FLOP peak alone (as round 2 did: "11% of peak") is meaningless
+without the bandwidth term.
 
-Counts matmul/conv MACs only (elementwise work is noise next to them) and
-uses the standard fwd+bwd = 3x fwd multiplier.
+Three tiers of fidelity:
+  - FLOPs: analytic matmul/conv MACs from the config (model FLOPs in the
+    MFU convention — recompute/remat does not inflate the numerator).
+  - Bytes: XLA's own `compiled.cost_analysis()['bytes accessed']` when the
+    caller can provide it (the compiler's accounting of actual HBM traffic
+    after fusion), else `train_step_bytes` — an analytic estimate of
+    param/optimizer traffic + backward-saved activation residuals.
+  - Peaks: keyed by the *detected* device kind (`jax.devices()[0]
+    .device_kind`), not hardcoded v5e; unknown kinds report peak=None and
+    the caller omits roofline fields rather than mislabeling them.
 """
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 from av_separation_tpu.config import ExperimentConfig
 
-# Per-chip peak FLOP/s (dense). TPU v5e: ~197 TFLOP/s bf16; f32 runs as
-# multi-pass bf16 on the MXU at roughly 1/4 of that.
+# Public per-chip peaks: (bf16 FLOP/s, f32 FLOP/s, HBM bytes/s).
+# f32 runs as multi-pass bf16 on the MXU at ~1/4 rate.  Matched by
+# substring against jax Device.device_kind (e.g. 'TPU v5 lite' -> v5e).
+DEVICE_PEAKS = {
+    "v5 lite": ("tpu_v5e", 197e12, 49e12, 819e9),
+    "v5litepod": ("tpu_v5e", 197e12, 49e12, 819e9),
+    "v6 lite": ("tpu_v6e", 918e12, 229e12, 1640e9),
+    "v6e": ("tpu_v6e", 918e12, 229e12, 1640e9),
+    "v5p": ("tpu_v5p", 459e12, 115e12, 2765e9),
+    "v5": ("tpu_v5p", 459e12, 115e12, 2765e9),   # after 'v5 lite'/'v5p'
+    "v4": ("tpu_v4", 275e12, 69e12, 1228e9),
+}
+
+
+def detect_chip(device_kind: str) -> Optional[Tuple[str, float, float, float]]:
+    """(name, bf16 peak, f32 peak, HBM B/s) for a device_kind string, or
+    None for kinds not in the table (caller should omit roofline fields)."""
+    kind = device_kind.lower()
+    for marker, entry in DEVICE_PEAKS.items():
+        if marker in kind:
+            return entry
+    return None
+
+
+# Backwards-compatible peak table (kept for existing callers/tests).
 PEAK_FLOPS = {
     "tpu_v5e_bfloat16": 197e12,
     "tpu_v5e_float32": 49e12,
@@ -78,9 +114,107 @@ def train_step_flops(cfg: ExperimentConfig, batch_size: int,
     return per_sample * batch_size
 
 
+def param_count(cfg: ExperimentConfig) -> float:
+    """Approximate parameter count from the config (matmul/conv weights;
+    biases and norms are noise)."""
+    m, d_cfg = cfg.model, cfg.data
+    d, f, s = m.d_model, m.freq_bins, m.num_speakers
+    enc_block = 4 * d * d + 8 * d * d  # qkv+out, ffn up+down
+    total = 3 * f * d + 3 * d * d      # audio convs (k=3)
+    total += 2 * m.num_encoder_layers * enc_block  # audio + visual stacks
+    total += 9 * (32 + 32 * 64 + 64 * 128) + 128 * d  # visual stem + proj
+    total += m.num_fusion_layers * enc_block
+    total += d * 2 * d + 2 * d * f * s  # decoder
+    return float(total)
+
+
+def train_step_bytes(cfg: ExperimentConfig, batch_size: int,
+                     attn_impl: str = "pallas") -> float:
+    """Analytic estimate of HBM bytes moved by one fwd+bwd+update step.
+
+    Used only when XLA's cost_analysis is unavailable; the model is
+    documented-approximate, not exact:
+      - params: fwd read + bwd read (compute dtype) + f32 grad write, then
+        Adam: read {grad, mu, nu, param}, write {mu, nu, param}.
+      - activations: per attention block, ~15 L*d floats of backward-saved
+        residuals (norm outs, q/k/v, attn out, both FFN intermediates),
+        each written in fwd and read in bwd; with 'xla' attention the
+        (H, Lq, Lk) f32 probability tensor (plus its dropout mask) is
+        additionally written+read, which is exactly the traffic the flash
+        kernel deletes (lse is L floats instead).
+    """
+    m, d_cfg = cfg.model, cfg.data
+    t = d_cfg.num_stft_frames
+    n = d_cfg.total_lip_frames
+    d = m.d_model
+    c = 2 if m.compute_dtype == "bfloat16" else 4  # activation bytes
+    p = param_count(cfg)
+
+    param_bytes = p * (2 * c + 4) + p * 4 * 7  # fwd+bwd reads, grad, Adam
+
+    def block_bytes(lq, lk):
+        resid = 15 * lq * d * c * 2            # write fwd + read bwd
+        if attn_impl == "xla":
+            probs = m.nhead * lq * lk * (4 + 1) * 2  # f32 probs + mask bits
+        else:
+            probs = lq * 4 * 2                 # compact lse
+        return resid + probs
+
+    act = m.num_encoder_layers * (block_bytes(t, t) + block_bytes(n, n))
+    act += m.num_fusion_layers * block_bytes(t, t)
+    # Conv stem + decoder activations.
+    h, w = d_cfg.frame_h, d_cfg.frame_w
+    act += n * (h * w // 4 * 32 + h * w // 16 * 64 + h * w // 64 * 128) \
+        * c * 2
+    act += t * (2 * d + m.freq_bins * m.num_speakers * 2) * c * 2
+    return param_bytes + act * batch_size
+
+
+def roofline(flops: float, bytes_accessed: Optional[float], dt: float,
+             dtype: str, device_kind: str) -> dict:
+    """Roofline report for a measured execution.
+
+    time_lb = max(flops / peak_flops, bytes / peak_bw); `bound` names the
+    larger term; pct_roofline = 100 * time_lb / dt is "how close to this
+    chip's speed-of-light", the number the BASELINE 'actually fast' gate
+    asks for.  Returns {} when the device kind is unknown (never mislabel).
+    """
+    chip = detect_chip(device_kind)
+    if chip is None:
+        return {}
+    name, bf16_peak, f32_peak, bw = chip
+    peak = bf16_peak if dtype == "bfloat16" else f32_peak
+    out = {
+        "device": name,
+        "pct_peak_flops": round(100.0 * flops / dt / peak, 2),
+    }
+    if bytes_accessed:
+        t_compute = flops / peak
+        t_bytes = bytes_accessed / bw
+        t_lb = max(t_compute, t_bytes)
+        out.update({
+            "bound": "bandwidth" if t_bytes > t_compute else "compute",
+            "pct_roofline": round(100.0 * t_lb / dt, 2),
+            "hbm_gb_per_s": round(bytes_accessed / dt / 1e9, 1),
+        })
+    return out
+
+
 def pct_of_peak(flops_per_s: float, dtype: str = "float32",
                 chip: str = "tpu_v5e") -> float:
     peak = PEAK_FLOPS.get(f"{chip}_{dtype}")
     if not peak:
         return 0.0
     return 100.0 * flops_per_s / peak
+
+
+def xla_cost_analysis(compiled) -> dict:
+    """Pull {'flops', 'bytes accessed'} from a jax compiled object's cost
+    analysis; {} when the backend doesn't provide one."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return dict(ca) if ca else {}
+    except Exception:
+        return {}

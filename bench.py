@@ -41,6 +41,11 @@ def main() -> int:
                     help="fused: on-device data gen + K steps per dispatch "
                          "(device-true throughput); per_step: one dispatch "
                          "per step with a host-fed batch")
+    ap.add_argument("--mesh-data", type=int, default=1,
+                    help="data-parallel mesh axis size (scaling harness)")
+    ap.add_argument("--mesh-fsdp", type=int, default=1)
+    ap.add_argument("--mesh-seq", type=int, default=1)
+    ap.add_argument("--mesh-model", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -64,9 +69,24 @@ def main() -> int:
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch))
 
+    mesh = None
+    n_mesh = (args.mesh_data * args.mesh_fsdp * args.mesh_seq
+              * args.mesh_model)
+    if n_mesh > 1:
+        import dataclasses as _dc
+
+        from av_separation_tpu.config import MeshConfig
+        from av_separation_tpu.parallel.mesh import make_mesh
+        cfg = _dc.replace(cfg, mesh=MeshConfig(data=args.mesh_data,
+                                               fsdp=args.mesh_fsdp,
+                                               seq=args.mesh_seq,
+                                               model=args.mesh_model))
+        mesh = make_mesh(cfg.mesh)
+
     d = cfg.data
     b = args.batch
-    model, state = create_train_state(cfg)
+    model, state = create_train_state(cfg, mesh)
+    compiled_cost = {}
 
     if args.mode == "fused":
         # Whole pipeline on device: synthetic data gen + STFT + fwd + bwd +
@@ -79,9 +99,21 @@ def main() -> int:
         # TPU backend block_until_ready was observed to return early,
         # inflating throughput ~60x.)
         from av_separation_tpu.train import make_fused_train_steps
+        from av_separation_tpu.utils.roofline import xla_cost_analysis
         k = max(10, args.steps // 5)
-        fused = make_fused_train_steps(model, cfg, k)
-        state, loss = fused(state)  # compile + warm
+        fused_jit = make_fused_train_steps(model, cfg, k, mesh)
+        # AOT-compile once; execute the compiled object (no second trace),
+        # and read XLA's own flops/bytes accounting off it for the
+        # roofline report.
+        try:
+            fused = fused_jit.lower(state).compile()
+            ca = xla_cost_analysis(fused)
+            if ca.get("bytes accessed"):
+                compiled_cost = {"bytes_per_call": ca["bytes accessed"],
+                                 "steps_per_call": k}
+        except Exception:
+            fused = fused_jit
+        state, loss = fused(state)  # warm
         float(np.asarray(loss))
         n_calls = max(1, args.steps // k)
         t0 = time.perf_counter()
@@ -103,7 +135,16 @@ def main() -> int:
                 size=(b, d.num_speakers, d.freq_bins, d.num_stft_frames))
                 .astype(np.float32)),
         }
-        step_fn = make_train_step(model, cfg)
+        step_jit = make_train_step(model, cfg, mesh)
+        from av_separation_tpu.utils.roofline import xla_cost_analysis
+        try:
+            step_fn = step_jit.lower(state, batch).compile()
+            ca = xla_cost_analysis(step_fn)
+            if ca.get("bytes accessed"):
+                compiled_cost = {"bytes_per_call": ca["bytes accessed"],
+                                 "steps_per_call": 1}
+        except Exception:
+            step_fn = step_jit
         for _ in range(3):
             state, metrics = step_fn(state, batch)
         float(np.asarray(metrics["loss"]))
@@ -116,7 +157,10 @@ def main() -> int:
 
     audio_seconds = total_steps * b * d.duration
     value = audio_seconds / dt
-    n_chips = jax.device_count()
+    # Per-chip normalization: the devices actually participating (the mesh),
+    # not jax.device_count() — a 1x1x1 run on an 8-virtual-device CPU host
+    # is still a single-"chip" measurement.
+    n_chips = cfg.mesh.num_devices
     result = {
         "metric": (f"audio-seconds/s/chip (fwd+bwd train step, "
                    f"{args.config} config, batch={b}, "
@@ -125,13 +169,26 @@ def main() -> int:
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / n_chips / REFERENCE_AUDIO_S_PER_S, 2),
     }
+    if n_mesh > 1:
+        result["mesh"] = (f"data={args.mesh_data} fsdp={args.mesh_fsdp} "
+                          f"seq={args.mesh_seq} model={args.mesh_model}")
     if jax.default_backend() == "tpu":
         from av_separation_tpu.utils.roofline import (
-            pct_of_peak, train_step_flops)
+            roofline, train_step_bytes, train_step_flops)
         flops = train_step_flops(cfg, b, include_data_gen=(
             args.mode == "fused")) * total_steps
-        result["pct_v5e_peak"] = round(
-            pct_of_peak(flops / dt, cfg.model.compute_dtype), 2)
+        if compiled_cost.get("bytes_per_call"):
+            calls = total_steps / compiled_cost["steps_per_call"]
+            bytes_total = compiled_cost["bytes_per_call"] * calls
+            bytes_src = "xla_cost_analysis"
+        else:
+            bytes_total = train_step_bytes(cfg, b) * total_steps
+            bytes_src = "analytic"
+        rl = roofline(flops, bytes_total, dt, cfg.model.compute_dtype,
+                      jax.devices()[0].device_kind)
+        if rl:
+            rl["bytes_source"] = bytes_src
+            result.update(rl)
     print(json.dumps(result))
     return 0
 

@@ -55,6 +55,42 @@ class TestMultiProcess:
         # The loss is a global reduction — every process must agree.
         assert losses[0] == losses[1], losses
 
+    def test_two_process_cli_train(self):
+        """The PRODUCTION entry point (`avsep train`) launched as a real
+        2-process job over a localhost coordinator: both processes must
+        join, build the global DP mesh, feed host-local rows, and agree on
+        the final loss (VERDICT r2 #4: multi-host reachable from the CLI)."""
+        import json
+
+        coord = f"localhost:{_free_port()}"
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_PLATFORMS"] = "cpu"
+        procs = [subprocess.Popen(
+            [sys.executable, "-m", "av_separation_tpu.cli", "train",
+             "--config", "demo", "--steps", "2", "--batch", "4",
+             "--dtype", "float32", "--cpu",
+             "--coordinator", coord, "--num-processes", "2",
+             "--process-id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO) for i in range(2)]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"avsep train failed:\n{err[-3000:]}"
+            outs.append(out)
+        losses = []
+        for out in outs:
+            for line in out.splitlines():
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "final_step" in rec:
+                    losses.append(rec["loss"])
+        assert len(losses) == 2, outs
+        assert losses[0] == losses[1], losses
+
     def test_killed_worker_detected_by_barrier(self):
         """The survivor must DETECT the dead peer rather than hang.  Two
         legitimate detection paths race: our barrier()'s wall-clock timeout

@@ -382,12 +382,102 @@ class TestAutoImplResolution:
         assert _resolve_fused_impl("pallas", 8) == "pallas"
         assert _resolve_fused_impl("xla", 501) == "xla"
 
-    def test_auto_threshold_logic(self, monkeypatch):
+    def test_auto_threshold_logic(self):
         from av_separation_tpu.ops import attention as attn_mod
-        monkeypatch.setattr(attn_mod.jax, "default_backend", lambda: "tpu")
-        assert attn_mod.resolve_attn_impl("auto", 501, 501) == "pallas"
-        assert attn_mod.resolve_attn_impl("auto", 63, 63) == "xla"
+        from av_separation_tpu.ops import policy
+        with policy.target_platform("tpu"):
+            assert attn_mod.resolve_attn_impl("auto", 501, 501) == "pallas"
+            assert attn_mod.resolve_attn_impl("auto", 63, 63) == "xla"
+            from av_separation_tpu.models import model as model_mod
+            assert model_mod._resolve_fused_impl("auto", 501) == "pallas"
+            assert model_mod._resolve_fused_impl("auto", 63) == "xla"
+
+    def test_policy_single_source_of_truth(self):
+        """Both consumers resolve through ops/policy.py: moving a threshold
+        there must move both behaviors (the round-2 drift bug)."""
         from av_separation_tpu.models import model as model_mod
-        monkeypatch.setattr(model_mod.jax, "default_backend", lambda: "tpu")
-        assert model_mod._resolve_fused_impl("auto", 501) == "pallas"
-        assert model_mod._resolve_fused_impl("auto", 63) == "xla"
+        from av_separation_tpu.ops import attention as attn_mod
+        from av_separation_tpu.ops import policy
+        with policy.target_platform("tpu"):
+            edge = policy.AUTO_MIN_SCORE_ELEMS
+            assert attn_mod.resolve_attn_impl("auto", 1, edge) == "pallas"
+            assert attn_mod.resolve_attn_impl("auto", 1, edge - 1) == "xla"
+            t = policy.FUSED_MIN_SEQ
+            assert model_mod._resolve_fused_impl("auto", t) == "pallas"
+            assert model_mod._resolve_fused_impl("auto", t - 1) == "xla"
+
+    def test_fused_auto_falls_back_under_sharded_mesh(self):
+        """GSPMD can't partition the fused proj/decoder pallas_calls; under
+        any sharded mesh 'auto' must resolve them to 'xla'."""
+        from jax.sharding import Mesh
+
+        from av_separation_tpu.ops import policy
+        devices = np.asarray(jax.devices()[:4]).reshape(2, 1, 2)
+        mesh = Mesh(devices, ("data", "fsdp", "model"))
+        with policy.target_platform("tpu"), policy.use_mesh(mesh):
+            assert policy.resolve_fused("auto", 501) == "xla"
+        with policy.target_platform("tpu"):
+            assert policy.resolve_fused("auto", 501) == "pallas"
+
+
+class TestShardedFlashAttention:
+    """The flash kernel under a sharded mesh runs through shard_map — batch
+    over ('data','fsdp'), heads over 'model' — and must match dense XLA
+    attention (ops/attention.py `_flash_sharded`)."""
+
+    def _mesh(self, shape):
+        from jax.sharding import Mesh
+        n = int(np.prod(shape))
+        return Mesh(np.asarray(jax.devices()[:n]).reshape(shape),
+                    ("data", "fsdp", "model"))
+
+    @pytest.mark.parametrize("shape", [(2, 1, 2), (4, 1, 1), (1, 2, 2)])
+    def test_matches_dense(self, shape):
+        from av_separation_tpu.ops import policy
+        from av_separation_tpu.ops.attention import multi_head_attention
+        mesh = self._mesh(shape)
+        q = rand((4, 48, 64), 0)
+        k = rand((4, 40, 64), 1)
+        v = rand((4, 40, 64), 2)
+        ref = multi_head_attention(q, k, v, nhead=4, impl="xla")
+        with policy.use_mesh(mesh):
+            out = multi_head_attention(q, k, v, nhead=4, impl="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_indivisible_heads_fall_back_to_xla(self):
+        """3 heads can't shard over model=2: the resolver must fall back to
+        the XLA path (bit-identical here) instead of a broken shard_map."""
+        from av_separation_tpu.ops import policy
+        from av_separation_tpu.ops.attention import multi_head_attention
+        mesh = self._mesh((2, 1, 2))
+        q = rand((4, 48, 48), 0)
+        k = rand((4, 40, 48), 1)
+        v = rand((4, 40, 48), 2)
+        ref = multi_head_attention(q, k, v, nhead=3, impl="xla")
+        with policy.use_mesh(mesh):
+            out = multi_head_attention(q, k, v, nhead=3, impl="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=0, rtol=0)
+
+    def test_sharded_dropout_grads_finite(self):
+        """Training path: in-kernel dropout under shard_map — grads flow and
+        the per-shard seed decorrelation compiles (axis_index inside
+        shard_map)."""
+        from av_separation_tpu.ops import policy
+        from av_separation_tpu.ops.attention import multi_head_attention
+        mesh = self._mesh((2, 1, 2))
+        q = rand((4, 48, 64), 0)
+        k = rand((4, 40, 64), 1)
+        v = rand((4, 40, 64), 2)
+        rng = jax.random.PRNGKey(0)
+
+        def loss(q):
+            with policy.use_mesh(mesh):
+                out = multi_head_attention(q, k, v, nhead=4, impl="pallas",
+                                           dropout_rate=0.1, dropout_rng=rng)
+            return jnp.sum(out ** 2)
+
+        val, g = jax.value_and_grad(loss)(q)
+        assert np.isfinite(float(val))
+        assert np.all(np.isfinite(np.asarray(g)))

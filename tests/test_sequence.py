@@ -116,3 +116,84 @@ class TestSpForward:
         np.testing.assert_allclose(np.asarray(sp_sep),
                                    np.asarray(dense_sep),
                                    atol=2e-4, rtol=1e-4)
+
+
+@needs_devices
+class TestSeqAxisTraining:
+    """Sequence parallelism as a reachable FEATURE (VERDICT r2 #7): the
+    'seq' mesh axis shards the audio time axis through the training step —
+    attention routes through the shard_map all-gather-KV program
+    (ops/attention.py `_attn_seq_sharded`), everything else is partitioned
+    by GSPMD from the model's time-axis constraints — and the loss matches
+    the dense single-device run."""
+
+    def _cfg(self, mesh_cfg):
+        import dataclasses
+
+        from av_separation_tpu.config import (
+            DataConfig, ExperimentConfig, ModelConfig, TrainConfig)
+        return ExperimentConfig(
+            name="sp",
+            model=ModelConfig(freq_bins=65, d_model=64, nhead=4,
+                              num_encoder_layers=1, num_fusion_layers=1,
+                              num_speakers=2, dropout=0.0),
+            # duration chosen so T = 1 + 1920//128 = 16 divides seq=2/4.
+            data=DataConfig(num_samples=8, sample_rate=2048, duration=0.9375,
+                            n_fft=128, hop_length=128, num_frames=4,
+                            frame_h=16, frame_w=16),
+            mesh=mesh_cfg,
+            train=TrainConfig(batch_size=4, steps=1),
+        )
+
+    def _batch(self, d, b=4):
+        rng = np.random.default_rng(0)
+        return {
+            "mixed_spec": jnp.asarray(rng.normal(
+                size=(b, d.freq_bins, d.num_stft_frames))
+                .astype(np.float32)),
+            "lip_frames": jnp.asarray(rng.normal(
+                size=(b, d.total_lip_frames, d.frame_h, d.frame_w))
+                .astype(np.float32)),
+            "clean_specs": jnp.asarray(rng.normal(
+                size=(b, 2, d.freq_bins, d.num_stft_frames))
+                .astype(np.float32)),
+        }
+
+    @pytest.mark.parametrize("mesh_shape", [
+        dict(data=2, seq=2), dict(seq=4), dict(data=2, seq=2, model=2)])
+    def test_seq_sharded_train_step_matches_dense(self, mesh_shape):
+        from av_separation_tpu.train import create_train_state, \
+            make_train_step
+
+        cfg1 = self._cfg(MeshConfig())
+        model1, state1 = create_train_state(cfg1)
+        step1 = make_train_step(model1, cfg1)
+        batch = self._batch(cfg1.data)
+        _, m1 = step1(state1, batch)
+
+        cfgS = self._cfg(MeshConfig(**mesh_shape))
+        mesh = make_mesh(cfgS.mesh)
+        modelS, stateS = create_train_state(cfgS, mesh)
+        stepS = make_train_step(modelS, cfgS, mesh)
+        with mesh:
+            _, mS = stepS(stateS, batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(mS["loss"]),
+                                   atol=1e-4, rtol=1e-5)
+
+    def test_seq_axis_activations_actually_sharded(self):
+        """The constraint is live: a jitted forward under seq=4 produces a
+        T-sharded fused activation (check via the output mask sharding of a
+        probe function that returns the constrained tensor)."""
+        from av_separation_tpu.models.model import _seq_constraint
+        from av_separation_tpu.ops import policy
+
+        mesh = make_mesh(MeshConfig(seq=4))
+        x = rand((2, 16, 8), 0)
+
+        def f(x):
+            with policy.use_mesh(mesh):
+                return _seq_constraint(x, 1)
+
+        out = jax.jit(f)(x)
+        shard = out.sharding.shard_shape(out.shape)
+        assert shard == (2, 4, 8), shard

@@ -157,6 +157,34 @@ class TestMeshExecution:
         np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
                                    atol=1e-4, rtol=1e-5)
 
+    def test_pallas_attention_sharded_train_step(self):
+        """Flash attention under a DP x TP mesh routes through shard_map
+        (ops/attention.py `_flash_sharded`) and the sharded train-step loss
+        matches the single-device XLA loss — the path the multihost config
+        runs when 'auto' resolves to pallas on real chips."""
+        import dataclasses
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        model1, state1 = create_train_state(TINY)
+        step1 = make_train_step(model1, TINY)
+        batch = tiny_batch()
+        _, m1 = step1(state1, batch)
+
+        cfgP = dataclasses.replace(
+            TINY,
+            model=TINY.model.replace(attn_impl="pallas"),
+            mesh=MeshConfig(data=2, fsdp=1, model=2))
+        mesh = make_mesh(cfgP.mesh)
+        with pltpu.force_tpu_interpret_mode():
+            modelP, stateP = create_train_state(cfgP, mesh)
+            stepP = make_train_step(modelP, cfgP, mesh)
+            with mesh:
+                _, mP = stepP(stateP, batch)
+            loss = float(mP["loss"])
+        np.testing.assert_allclose(float(m1["loss"]), loss,
+                                   atol=1e-4, rtol=1e-5)
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):

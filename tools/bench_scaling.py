@@ -1,0 +1,119 @@
+"""Scaling-efficiency harness: audio-seconds/s vs device count.
+
+BASELINE.md's second quantitative gate is ">=85% linear scaling of
+audio-seconds/s from 1 chip to N" — this tool produces that measurement
+wherever hardware permits.  It weak-scales the data-parallel mesh axis
+(per-chip batch held constant, global batch = B * n) and reports per-point
+throughput plus efficiency vs linear (value_n / value_1, since `value` is
+already per-chip).
+
+On a host without a multi-chip TPU slice it runs the same sweep on virtual
+CPU devices (XLA_FLAGS=--xla_force_host_platform_device_count): that is a
+*correctness and overhead-trend proxy* — CPU "chips" share one socket's
+memory bandwidth, so absolute efficiency is pessimistic — but it exercises
+the identical pjit/GSPMD path a real slice would run, and the harness
+needs zero changes when pointed at real chips (--platform tpu).
+
+Usage:
+  python tools/bench_scaling.py                    # CPU proxy, 1..8
+  python tools/bench_scaling.py --platform tpu     # real chips, 1..N
+  python tools/bench_scaling.py --config scaled --batch 8 --steps 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_point(n: int, args) -> dict:
+    env = dict(os.environ)
+    if args.platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        flags = " ".join(f for f in flags.split()
+                         if "host_platform_device_count" not in f)
+        env["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={n}").strip()
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"),
+           "--config", args.config, "--impl", args.impl,
+           "--dtype", args.dtype, "--mode", args.mode,
+           "--batch", str(args.batch * n), "--steps", str(args.steps),
+           "--mesh-data", str(n)]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=3600, cwd=REPO, env=env)
+    wall = round(time.time() - t0, 1)
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    try:
+        rec = json.loads(line)
+    except json.JSONDecodeError:
+        rec = {"error": (proc.stderr or "no output")[-2000:],
+               "rc": proc.returncode}
+    rec.update(n_devices=n, global_batch=args.batch * n, wall_s=wall,
+               platform=args.platform)
+    return rec
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="demo")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="PER-CHIP batch (global = batch * n_devices)")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--impl", default="auto")
+    ap.add_argument("--dtype", default=None,
+                    help="default: float32 on cpu, bfloat16 on tpu")
+    ap.add_argument("--mode", default="fused")
+    ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
+    ap.add_argument("--devices", default=None,
+                    help="comma list of device counts (default 1,2,4,8 "
+                         "capped at available on tpu)")
+    ap.add_argument("--out", default=os.path.join(REPO, "bench_results",
+                                                  "scaling.jsonl"))
+    args = ap.parse_args()
+    if args.dtype is None:
+        args.dtype = "float32" if args.platform == "cpu" else "bfloat16"
+
+    if args.devices:
+        counts = [int(x) for x in args.devices.split(",")]
+    else:
+        counts = [1, 2, 4, 8]
+        if args.platform == "tpu":
+            import jax
+            counts = [c for c in counts if c <= jax.device_count()]
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    results = []
+    for n in counts:
+        print(f"--- n_devices={n} global_batch={args.batch * n}", flush=True)
+        rec = run_point(n, args)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    base = next((r.get("value") for r in results
+                 if r.get("n_devices") == 1 and r.get("value")), None)
+    with open(args.out, "a") as f:
+        for rec in results:
+            if base and rec.get("value"):
+                # value is per-chip: linear scaling keeps it flat.
+                rec["efficiency_vs_linear"] = round(rec["value"] / base, 4)
+            f.write(json.dumps(rec) + "\n")
+    print(f"wrote {args.out}", flush=True)
+    worst = min((r.get("efficiency_vs_linear", 1.0) for r in results
+                 if "efficiency_vs_linear" in r), default=None)
+    if worst is not None:
+        print(f"worst efficiency vs linear: {worst:.1%} "
+              f"(gate: >=85% on real chips; CPU proxy shares one socket's "
+              f"bandwidth)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,14 +19,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (config, impl, dtype, batch) — batch sized per config to fit HBM with the
 # fused pipeline's activation footprint (lrs2's 96x96 stem is the fattest).
+# Every production config keeps an explicit xla-vs-pallas pair so the
+# measured crossovers in ops/policy.py stay evidence-backed ('auto' rows
+# show what ships; the pair shows why).
 RUNS = [
     ("demo", "auto", "bfloat16", 128),
+    ("demo", "xla", "bfloat16", 128),
+    ("demo", "pallas", "bfloat16", 128),
     ("demo", "xla", "float32", 128),
     ("scaled", "auto", "bfloat16", 32),
     ("scaled", "xla", "bfloat16", 32),
+    ("scaled", "pallas", "bfloat16", 32),
     ("three_speaker", "auto", "bfloat16", 64),
+    ("three_speaker", "xla", "bfloat16", 64),
     ("lrs2", "auto", "bfloat16", 16),
+    ("lrs2", "xla", "bfloat16", 16),
     ("multihost", "auto", "bfloat16", 16),
+    ("multihost", "xla", "bfloat16", 16),
 ]
 
 QUICK_RUNS = [
@@ -44,6 +53,8 @@ def main() -> int:
 
     os.makedirs(args.out, exist_ok=True)
     jsonl = os.path.join(args.out, "sweep.jsonl")
+    if os.path.exists(jsonl) and not args.quick:
+        os.remove(jsonl)  # stale evidence is worse than no evidence
     results = []
     runs = QUICK_RUNS if args.quick else RUNS
     for config, impl, dtype, batch in runs:
@@ -74,13 +85,15 @@ def main() -> int:
     md = os.path.join(args.out, "sweep.md")
     with open(md, "w") as f:
         f.write("| config | impl | dtype | batch | audio-s/s/chip | "
-                "vs torch-CPU ref | % v5e peak |\n|---|---|---|---|---|"
-                "---|---|\n")
+                "vs torch-CPU ref | % peak FLOPs | bound | % roofline |\n"
+                "|---|---|---|---|---|---|---|---|---|\n")
         for r in results:
             f.write(f"| {r['config']} | {r['impl']} | {r['dtype']} | "
                     f"{r['batch']} | {r.get('value', 'ERR')} | "
                     f"{r.get('vs_baseline', '-')} | "
-                    f"{r.get('pct_v5e_peak', '-')} |\n")
+                    f"{r.get('pct_peak_flops', '-')} | "
+                    f"{r.get('bound', '-')} | "
+                    f"{r.get('pct_roofline', '-')} |\n")
     print(f"wrote {jsonl} and {md}", flush=True)
     return 0
 
