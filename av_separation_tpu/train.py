@@ -74,7 +74,11 @@ def create_train_state(cfg: ExperimentConfig, mesh: Optional[Mesh] = None,
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     if mesh is None:
-        return model, init_fn(rng)
+        # Jitted even single-device: eager init is one tunnel round-trip
+        # per op on remote backends (measured 90 s for the demo model on
+        # the axon TPU vs one cached compile), and the persistent
+        # compilation cache amortizes it across processes.
+        return model, jax.jit(init_fn)(rng)
 
     # Shard by rule: params get PARAM_RULES placements; the optimizer state
     # mirrors them (XLA propagates from the params input of tx.init).

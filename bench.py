@@ -101,19 +101,19 @@ def main() -> int:
         from av_separation_tpu.train import make_fused_train_steps
         from av_separation_tpu.utils.roofline import xla_cost_analysis
         k = max(10, args.steps // 5)
-        fused_jit = make_fused_train_steps(model, cfg, k, mesh)
-        # AOT-compile once; execute the compiled object (no second trace),
-        # and read XLA's own flops/bytes accounting off it for the
-        # roofline report.
+        fused = make_fused_train_steps(model, cfg, k, mesh)
+        # Read XLA's own flops/bytes accounting for the roofline report.
+        # The AOT object is used ONLY for cost_analysis — executing it
+        # hangs on the axon-tunneled backend, so the timed loop runs the
+        # ordinary jit call (the compile is shared via the cache).
         try:
-            fused = fused_jit.lower(state).compile()
-            ca = xla_cost_analysis(fused)
+            ca = xla_cost_analysis(fused.lower(state).compile())
             if ca.get("bytes accessed"):
                 compiled_cost = {"bytes_per_call": ca["bytes accessed"],
                                  "steps_per_call": k}
         except Exception:
-            fused = fused_jit
-        state, loss = fused(state)  # warm
+            pass
+        state, loss = fused(state)  # compile + warm
         float(np.asarray(loss))
         n_calls = max(1, args.steps // k)
         t0 = time.perf_counter()
@@ -135,16 +135,15 @@ def main() -> int:
                 size=(b, d.num_speakers, d.freq_bins, d.num_stft_frames))
                 .astype(np.float32)),
         }
-        step_jit = make_train_step(model, cfg, mesh)
+        step_fn = make_train_step(model, cfg, mesh)
         from av_separation_tpu.utils.roofline import xla_cost_analysis
         try:
-            step_fn = step_jit.lower(state, batch).compile()
-            ca = xla_cost_analysis(step_fn)
+            ca = xla_cost_analysis(step_fn.lower(state, batch).compile())
             if ca.get("bytes accessed"):
                 compiled_cost = {"bytes_per_call": ca["bytes accessed"],
                                  "steps_per_call": 1}
         except Exception:
-            step_fn = step_jit
+            pass
         for _ in range(3):
             state, metrics = step_fn(state, batch)
         float(np.asarray(metrics["loss"]))
