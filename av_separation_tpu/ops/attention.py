@@ -17,10 +17,19 @@ Three implementations, selected by `impl`:
     backward recomputes probabilities in VMEM instead of re-reading them.
     Gated on allclose vs the 'xla' path in tests/test_kernels.py.
   - 'auto' (default): 'pallas' when tracing for TPU and the score matrix is
-    large enough that residual traffic dominates (Tq*Tk >= 256^2, the
-    measured crossover: flash wins 115.6 -> 79.1 ms/step at scaled T=501
-    but loses ~5% at demo T=63); 'xla' otherwise (including CPU/GPU
-    backends, where the Mosaic kernel doesn't compile).
+    large enough that residual traffic dominates; 'xla' otherwise
+    (including CPU/GPU backends, where the Mosaic kernel doesn't compile).
+    The measured crossover constants live in ops/policy.py — the single
+    source of truth — with pointers to the sweep rows that set them.
+
+Sharded-mesh routing (ops/policy.py `use_mesh` declares the mesh at trace
+time):
+  - data/fsdp/model axes: the flash kernel runs through `jax.shard_map`
+    (`_flash_sharded`) — GSPMD cannot partition a pallas_call, so without
+    this the kernel would be replicated behind an all-gather of Q/K/V.
+  - 'seq' axis (sequence parallelism): `_attn_seq_sharded` keeps Q sharded
+    along time and all-gathers K/V over ICI before a local attention with
+    per-shard decorrelated dropout.
 """
 
 from __future__ import annotations

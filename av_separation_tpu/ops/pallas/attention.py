@@ -12,7 +12,7 @@ Grid layout: (B*H, Tq/block_q, Tk/block_k) with the key axis innermost
 scratch carries across key blocks and the output block is finalized on the
 last key iteration.
 
-Two bandwidth rules this kernel learned from the chip (scaled config,
+Three performance rules this kernel learned from the chip (scaled config,
 T=501, dh=64: the first version ran 2x SLOWER than XLA dense attention):
   - Softmax statistics are stored COMPACT as (BH, Tq) — one f32 per row,
     laid out with Tq on the lane axis (block (1, block_q)).  Broadcasting
@@ -23,6 +23,12 @@ T=501, dh=64: the first version ran 2x SLOWER than XLA dense attention):
   - Q/K/V are NOT padded to 128 lanes.  Head dims of 32/64 run as native
     narrow blocks (half-utilized loads beat doubling HBM bytes with an
     XLA pad copy first; the QK/PV matmul FLOPs are noise at these shapes).
+  - Matmul operands stay in their NATIVE dtype with f32 accumulation
+    (preferred_element_type): casting bf16 inputs to f32 "for safety" put
+    every dot on the MXU's multi-pass f32 path (~1/4 rate).  Softmax/exp
+    statistics remain f32 in the VPU, and the probability matrix is
+    quantized to the value dtype before PV exactly as the XLA path does —
+    so bf16 training numerics match attention_xla, not degrade them.
 
 The backward pass recomputes probabilities blockwise (flash-style) and
 accumulates dQ/dK/dV in two kernels: dQ over the key grid, dK/dV over the

@@ -46,9 +46,17 @@ def main() -> int:
     ap.add_argument("--mesh-fsdp", type=int, default=1)
     ap.add_argument("--mesh-seq", type=int, default=1)
     ap.add_argument("--mesh-model", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env JAX_PLATFORMS alone "
+                         "is not reliable under the axon site hook)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from av_separation_tpu.utils.cache import enable_compilation_cache
@@ -110,6 +118,7 @@ def main() -> int:
             ca = xla_cost_analysis(fused.lower(state).compile())
             if ca.get("bytes accessed"):
                 compiled_cost = {"bytes_per_call": ca["bytes accessed"],
+                                 "transcendentals": ca.get("transcendentals"),
                                  "steps_per_call": k}
         except Exception:
             pass
@@ -141,6 +150,7 @@ def main() -> int:
             ca = xla_cost_analysis(step_fn.lower(state, batch).compile())
             if ca.get("bytes accessed"):
                 compiled_cost = {"bytes_per_call": ca["bytes accessed"],
+                                 "transcendentals": ca.get("transcendentals"),
                                  "steps_per_call": 1}
         except Exception:
             pass
@@ -187,6 +197,13 @@ def main() -> int:
                       jax.devices()[0].device_kind)
         if rl:
             rl["bytes_source"] = bytes_src
+            if compiled_cost.get("transcendentals"):
+                # VPU-side exp/sin work (softmax, on-device sine data gen)
+                # that matmul-FLOP accounting misses — reported so a low
+                # pct_roofline at small configs is explainable.
+                rl["transcendentals_per_step"] = round(
+                    compiled_cost["transcendentals"]
+                    / compiled_cost["steps_per_call"])
             result.update(rl)
     print(json.dumps(result))
     return 0

@@ -46,6 +46,8 @@ def run_point(n: int, args) -> dict:
            "--dtype", args.dtype, "--mode", args.mode,
            "--batch", str(args.batch * n), "--steps", str(args.steps),
            "--mesh-data", str(n)]
+    if args.platform == "cpu":
+        cmd.append("--cpu")
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True,
                           timeout=3600, cwd=REPO, env=env)

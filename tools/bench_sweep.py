@@ -63,23 +63,36 @@ def main() -> int:
                "--batch", str(batch), "--steps", str(args.steps)]
         print(f"--- {config} impl={impl} dtype={dtype} batch={batch}",
               flush=True)
-        t0 = time.time()
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=3600, cwd=REPO)
-        wall = round(time.time() - t0, 1)
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
-            else ""
-        try:
-            rec = json.loads(line)
-        except (json.JSONDecodeError, IndexError):
-            rec = {"error": (proc.stderr or "no output")[-2000:],
-                   "rc": proc.returncode}
-        rec.update(config=config, impl=impl, dtype=dtype, batch=batch,
-                   wall_s=wall)
+        # The tunneled TPU backend needs a cooldown after a client exits
+        # before the next can claim the chip; a run that lands in the stale
+        # window hangs.  Bound each attempt and retry once after a pause.
+        rec = None
+        for attempt in range(2):
+            t0 = time.time()
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=1800, cwd=REPO)
+                line = proc.stdout.strip().splitlines()[-1] \
+                    if proc.stdout.strip() else ""
+                rec = json.loads(line)
+                rec["wall_s"] = round(time.time() - t0, 1)
+                break
+            except subprocess.TimeoutExpired:
+                rec = {"error": "timeout", "wall_s": round(time.time() - t0)}
+            except (json.JSONDecodeError, IndexError):
+                rec = {"error": (proc.stderr or "no output")[-2000:],
+                       "rc": proc.returncode,
+                       "wall_s": round(time.time() - t0, 1)}
+            print(f"    attempt {attempt} failed "
+                  f"({str(rec.get('error'))[:100]}); cooling down",
+                  flush=True)
+            time.sleep(75)
+        rec.update(config=config, impl=impl, dtype=dtype, batch=batch)
         results.append(rec)
         with open(jsonl, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
+        time.sleep(10)  # post-exit cooldown before the next claim
 
     # Markdown table for docs.
     md = os.path.join(args.out, "sweep.md")
