@@ -37,10 +37,12 @@ query grid — each a pure matmul chain on the MXU.
 Attention-probability DROPOUT (torch MHA training semantics: the normalized
 probability row is masked and survivors scaled by 1/(1-r), so rows no longer
 sum to 1) runs IN-KERNEL: each (batch*head, q-block, k-block) tile draws its
-keep mask from a stateless murmur3-finalizer hash of the tile coordinates
-(plain uint32 vector ops — identical compiled and under the CI interpreter,
-where pltpu.prng_random_bits returns zeros), and the backward kernels
-regenerate the identical mask — the T x T mask never exists in HBM.  The
+keep mask from the TPU hardware PRNG seeded by the tile coordinates
+(pltpu.prng_seed(seed, b, i, j) — a pure function, so fwd and both bwd
+kernels regenerate identical bits at negligible cost), falling back to a
+stateless murmur3-finalizer hash under the CI interpreter where
+pltpu.prng_random_bits is stubbed to zeros — the T x T mask never exists
+in HBM either way.  The
 flash trick delta = sum(dO * O) survives dropout exactly:
     out_row = sum_k (M_k P_k / (1-r)) V_k
     sum_k P_k dP_k = sum_k P_k M_k (dO . V_k) / (1-r) = dO . out_row
@@ -83,13 +85,45 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     return jnp.pad(x, pads)
 
 
-def _keep_mask(seed_ref, b, i, j, shape, rate: float):
+def _interpret_active() -> bool:
+    """True when tracing under pltpu.force_tpu_interpret_mode (the CI
+    path): the TPU interpreter stubs pltpu.prng_random_bits to zeros, so
+    dropout must use the software hash there."""
+    try:
+        from jax._src import config as _jconfig
+        return (_jconfig.pallas_tpu_interpret_mode_context_manager.value
+                is not None)
+    except Exception:
+        return False
+
+
+def _keep_mask(seed_ref, b, i, j, shape, rate: float, hw: bool = False):
     """Regenerable per-tile dropout keep mask.
 
-    A stateless murmur3-finalizer hash over (seed, b, i, j, row, col) in
-    plain uint32 vector ops: a pure function of the tile coordinates, so the
-    forward and both backward kernels recompute identical bits."""
+    Compiled on TPU (`hw=True`): seed the hardware PRNG from the tile
+    coordinates and draw the bits for free — `pltpu.prng_seed(seed, b, i,
+    j)` is a pure function of its arguments, so the forward and both
+    backward kernels regenerate identical bits.  (The murmur path below
+    cost ~14% of the whole scaled-config train step: ~12 uint vector ops
+    per score element, recomputed by all three kernels —
+    bench_results/isolate_bwd r3: dropout 0.1 vs 0.0 = 78.1 vs 67.5
+    ms/step with the hash, ~0 with hardware bits.)
+
+    Interpreter fallback (`hw=False`): a stateless murmur3-finalizer hash
+    over (seed, b, i, j, row, col) in plain uint32 vector ops — identical
+    under the CI interpreter where the hardware PRNG is stubbed to zeros.
+    """
     u = jnp.uint32
+    if hw:
+        threshold = u(min(int(rate * (1 << 32)), (1 << 32) - 1))
+        # Mosaic's prng_seed takes at most 2 values: pack the tile
+        # coordinates into one id (i, j < 2^10 always holds — blocks are
+        # >= 128 wide so a 2^10 block index covers T up to ~512k).
+        tile_id = (b.astype(jnp.int32) << 20) \
+            | (i.astype(jnp.int32) << 10) | j.astype(jnp.int32)
+        pltpu.prng_seed(seed_ref[0], tile_id)
+        bits = pltpu.prng_random_bits(shape)
+        return bits.astype(u) >= threshold
     tile = (seed_ref[0].astype(u) * u(0x9E3779B9)
             ^ b.astype(u) * u(0x85EBCA6B)
             ^ i.astype(u) * u(0xC2B2AE35)
@@ -112,7 +146,8 @@ def _keep_mask(seed_ref, b, i, j, shape, rate: float):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
-                *, scale: float, tk: int, block_k: int, rate: float):
+                *, scale: float, tk: int, block_k: int, rate: float,
+                hw: bool):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -149,7 +184,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     if rate > 0.0:
         keep = _keep_mask(seed_ref, pl.program_id(0), pl.program_id(1), j,
-                          p.shape, rate)
+                          p.shape, rate, hw)
         p = jnp.where(keep, p, 0.0)
 
     v = v_ref[0]
@@ -173,15 +208,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                                       lse_ref.shape[1:])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _flash(q, k, v, seed, scale: float, block_q: int, block_k: int,
-           true_tk: int, rate: float):
+           true_tk: int, rate: float, hw: bool):
     out, _ = _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk,
-                         rate)
+                         rate, hw)
     return out
 
 
-def _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk, rate):
+def _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk, rate, hw):
     """q: (BH, Tq, D) k/v: (BH, Tk, D) — sequence axes pre-padded to block
     multiples (D stays the native head dim); `true_tk` masks the padded key
     tail.  seed: (1,) int32.  Returns (out, lse (BH, Tq) f32)."""
@@ -193,7 +228,7 @@ def _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk, rate):
     grid = (bh, nq, nk)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, tk=tk, block_k=block_k,
-                          rate=rate),
+                          rate=rate, hw=hw),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -236,7 +271,7 @@ def _delta_kernel(o_ref, do_ref, delta_ref):
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                dq_ref, acc_scr, *, scale: float, tk: int, block_k: int,
-               rate: float):
+               rate: float, hw: bool):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -263,7 +298,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                              preferred_element_type=jnp.float32)
     if rate > 0.0:
         keep = _keep_mask(seed_ref, pl.program_id(0), pl.program_id(1), j,
-                          p.shape, rate)
+                          p.shape, rate, hw)
         # ds = P * (M . dp/(1-r) - delta): mask/rescale dp where it stands
         # in for dP (see module docstring — delta is dropout-exact).
         dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
@@ -278,7 +313,8 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr,
-                *, scale: float, tk: int, block_k: int, rate: float):
+                *, scale: float, tk: int, block_k: int, rate: float,
+                hw: bool):
     i = pl.program_id(2)  # query-block index (innermost)
     nq = pl.num_programs(2)
 
@@ -307,7 +343,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         # Same (b, q-block, k-block) seeding as the forward: this grid is
         # (bh, nk, nq), so the q-block index is program_id(2) and the
         # k-block index program_id(1).
-        keep = _keep_mask(seed_ref, pl.program_id(0), i, j, p.shape, rate)
+        keep = _keep_mask(seed_ref, pl.program_id(0), i, j, p.shape, rate,
+                          hw)
         pd = jnp.where(keep, p / (1.0 - rate), 0.0)
     else:
         pd = p
@@ -329,13 +366,14 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_fwd_rule(q, k, v, seed, scale, block_q, block_k, true_tk, rate):
+def _flash_fwd_rule(q, k, v, seed, scale, block_q, block_k, true_tk, rate,
+                    hw):
     out, lse = _flash_call(q, k, v, seed, scale, block_q, block_k,
-                           true_tk, rate)
+                           true_tk, rate, hw)
     return out, (q, k, v, seed, out, lse)
 
 
-def _flash_bwd_rule(scale, block_q, block_k, true_tk, rate, res, g):
+def _flash_bwd_rule(scale, block_q, block_k, true_tk, rate, hw, res, g):
     q, k, v, seed, out, lse = res
     bh, tq, d = q.shape
     tk = true_tk
@@ -359,7 +397,7 @@ def _flash_bwd_rule(scale, block_q, block_k, true_tk, rate, res, g):
     # Stage 2: dQ (accumulate over key blocks).
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, tk=tk, block_k=block_k,
-                          rate=rate),
+                          rate=rate, hw=hw),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -387,7 +425,7 @@ def _flash_bwd_rule(scale, block_q, block_k, true_tk, rate, res, g):
                                 memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, tk=tk, block_k=block_k,
-                          rate=rate),
+                          rate=rate, hw=hw),
         grid=(bh, nk, nq),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -454,6 +492,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kf = _pad_to(kf, 1, bk)
     vf = _pad_to(vf, 1, bk)
 
+    hw = rate > 0.0 and not _interpret_active()
     out = _flash(qf, kf, vf, dropout_seed.astype(jnp.int32).reshape(1),
-                 scale, bq, bk, tk, rate)
+                 scale, bq, bk, tk, rate, hw)
     return out[:, :tq, :].reshape(b, h, tq, dh)

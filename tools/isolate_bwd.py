@@ -72,8 +72,11 @@ def main():
     }
 
     variants = [
-        ("xla dropout=0.1", dict(compute_dtype="bfloat16")),
-        ("xla dropout=0.0", dict(compute_dtype="bfloat16", dropout=0.0)),
+        # NOTE: the base config's impl selectors default to 'auto'.
+        ("auto dropout=0.1", dict(compute_dtype="bfloat16")),
+        ("auto dropout=0.0", dict(compute_dtype="bfloat16", dropout=0.0)),
+        ("xla-attn dropout=0.1",
+         dict(compute_dtype="bfloat16", attn_impl="xla")),
         ("pallas-attn dropout=0.1",
          dict(compute_dtype="bfloat16", attn_impl="pallas")),
         ("pallas-attn dropout=0.0",
