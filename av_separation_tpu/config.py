@@ -195,10 +195,17 @@ def demo_config() -> ExperimentConfig:
 
 
 def scaled_config() -> ExperimentConfig:
-    """#2 2-speaker scaled-up: d_model=512, 6 enc + 4 fusion, 4s @ 16 kHz."""
+    """#2 2-speaker scaled-up: d_model=512, 6 enc + 4 fusion, 4s @ 16 kHz.
+
+    nhead=4 (the reference default, reference model.py:242) gives head_dim
+    128 = the full MXU contraction depth; the round-1 choice of 8 heads
+    (dh=64) ran every QK/PV matmul at half depth — measured on v5e: a
+    dh=128 flash call does 2x the FLOPs of dh=64 in the same wall time.
+    BASELINE.json pins only d_model/layers/duration for this config.
+    """
     return ExperimentConfig(
         name="scaled",
-        model=ModelConfig(freq_bins=257, d_model=512, nhead=8,
+        model=ModelConfig(freq_bins=257, d_model=512, nhead=4,
                           num_encoder_layers=6, num_fusion_layers=4,
                           num_speakers=2, dropout=0.1),
         data=DataConfig(num_samples=1000, sample_rate=16000, duration=4.0,
@@ -212,7 +219,7 @@ def three_speaker_config() -> ExperimentConfig:
     """#3 3-speaker separation; PIT searches 3! = 6 permutations on-device."""
     return ExperimentConfig(
         name="three_speaker",
-        model=ModelConfig(freq_bins=257, d_model=512, nhead=8,
+        model=ModelConfig(freq_bins=257, d_model=512, nhead=4,
                           num_encoder_layers=6, num_fusion_layers=4,
                           num_speakers=3, dropout=0.1),
         data=DataConfig(num_samples=1000, sample_rate=8000, duration=1.0,
@@ -230,7 +237,7 @@ def lrs2_config() -> ExperimentConfig:
     T=376 audio frames over 3 s)."""
     return ExperimentConfig(
         name="lrs2",
-        model=ModelConfig(freq_bins=257, d_model=512, nhead=8,
+        model=ModelConfig(freq_bins=257, d_model=512, nhead=4,
                           num_encoder_layers=6, num_fusion_layers=4,
                           num_speakers=2, dropout=0.1),
         data=DataConfig(num_samples=1000, sample_rate=16000, duration=3.0,
@@ -245,7 +252,7 @@ def multihost_config() -> ExperimentConfig:
     model-sharded fusion across chips, DP over hosts."""
     return ExperimentConfig(
         name="multihost",
-        model=ModelConfig(freq_bins=257, d_model=1024, nhead=16,
+        model=ModelConfig(freq_bins=257, d_model=1024, nhead=8,
                           num_encoder_layers=12, num_fusion_layers=8,
                           num_speakers=4, dropout=0.1, remat=True),
         data=DataConfig(num_samples=10000, sample_rate=16000, duration=4.0,

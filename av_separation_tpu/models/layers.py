@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from av_separation_tpu.ops.attention import multi_head_attention
+from av_separation_tpu.ops.dropout import Dropout as FastDropout
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +86,7 @@ class PositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
         x = x + sinusoidal_pe(x.shape[-2], self.d_model, x.dtype)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return FastDropout(self.dropout)(x, deterministic=deterministic)
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +186,7 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = self.d_model
-        drop = lambda name: nn.Dropout(self.dropout, name=name)
+        drop = lambda name: FastDropout(self.dropout, name=name)
         h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x)
         h = MultiHeadAttention(d, self.nhead, self.dropout, self.attn_impl,
                                self.dtype, name="self_attn")(

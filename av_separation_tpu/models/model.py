@@ -183,8 +183,9 @@ class CrossAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, audio, visual, deterministic: bool = True):
+        from av_separation_tpu.ops.dropout import Dropout as FastDropout
         cfg = self.cfg
-        drop = lambda name: nn.Dropout(cfg.dropout, name=name)
+        drop = lambda name: FastDropout(cfg.dropout, name=name)
         dt = _cdt(cfg)
         normed = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=dt)(audio)
         attn = MultiHeadAttention(cfg.d_model, cfg.nhead, cfg.dropout,
@@ -268,9 +269,10 @@ class SeparationDecoder(nn.Module):
                 cfg.num_speakers, cfg.freq_bins)
             return separated, masks
 
+        from av_separation_tpu.ops.dropout import Dropout as FastDropout
         h = jnp.einsum("btd,dh->bth", fused, w1) + b1
         h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(cfg.dropout, name="drop")(h, deterministic=deterministic)
+        h = FastDropout(cfg.dropout, name="drop")(h, deterministic=deterministic)
         h = jnp.einsum("bth,ho->bto", h, w2) + b2
         masks = h.reshape(b, t, cfg.num_speakers, cfg.freq_bins)
         masks = masks.transpose(0, 2, 3, 1)  # (B, S, F, T)

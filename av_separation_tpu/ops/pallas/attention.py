@@ -144,18 +144,19 @@ def _keep_mask(seed_ref, b, i, j, shape, rate: float, hw: bool = False):
 # Forward
 # ---------------------------------------------------------------------------
 
+def _tail_mask(s, j, tk: int, block_k: int):
+    """Mask the padded key tail with a (1, block_k) ROW iota broadcast —
+    a full (bq, bk) int32 iota + compare chain was ~3 extra VPU passes
+    over the score matrix, comparable to the QK matmul itself at dh<=128."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[-1]), 1)
+    return jnp.where(col + j * block_k < tk, s, NEG_INF)
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, scale: float, tk: int, block_k: int, rate: float,
-                hw: bool):
+                hw: bool, single_k: bool):
     j = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(j == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # Matmuls run on NATIVE-dtype operands with f32 accumulation
     # (preferred_element_type): with bf16 inputs the MXU runs at full bf16
@@ -164,13 +165,38 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     # f32-accumulating einsum).  Softmax statistics stay f32 in the VPU.
     q = q_ref[0]
     k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-
     if tk % block_k != 0:
-        kidx = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(kidx < tk, s, NEG_INF)
+        s = _tail_mask(s, j, tk, block_k)
+
+    if single_k:
+        # Whole key row in one block (the common case: T <= block_k): plain
+        # softmax with no online-rescale chain and no scratch carries —
+        # saves the alpha/acc VMEM round-trips and several VPU passes.
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref, pl.program_id(0), pl.program_id(1),
+                              j, p.shape, rate, hw)
+            p = jnp.where(keep, p, 0.0)
+        out = jnp.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[0] = (out / (l * (1.0 - rate))).astype(o_ref.dtype)
+        lse = m + jnp.log(l)
+        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1),
+                                      lse_ref.shape[1:])
+        return
+
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
     m_prev = m_scr[:]
     l_prev = l_scr[:]
@@ -187,7 +213,6 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                           p.shape, rate, hw)
         p = jnp.where(keep, p, 0.0)
 
-    v = v_ref[0]
     # p quantizes to the value dtype before PV, as the XLA path does
     # (attention_xla: probs.astype(v.dtype)).
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
@@ -228,7 +253,7 @@ def _flash_call(q, k, v, seed, scale, block_q, block_k, true_tk, rate, hw):
     grid = (bh, nq, nk)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, tk=tk, block_k=block_k,
-                          rate=rate, hw=hw),
+                          rate=rate, hw=hw, single_k=(nk == 1)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -290,9 +315,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if tk % block_k != 0:
-        kidx = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(kidx < tk, s, NEG_INF)
+        s = _tail_mask(s, j, tk, block_k)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -335,9 +358,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                             preferred_element_type=jnp.float32) * scale
     j = pl.program_id(1)
     if tk % block_k != 0:
-        kidx = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(kidx < tk, s, NEG_INF)
+        s = _tail_mask(s, j, tk, block_k)
     p = jnp.exp(s - lse)  # (bq, bk)
     if rate > 0.0:
         # Same (b, q-block, k-block) seeding as the forward: this grid is
