@@ -30,7 +30,13 @@ REFERENCE_AUDIO_S_PER_S = 36.08
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="demo")
-    ap.add_argument("--steps", type=int, default=50)
+    # Default sized so the fused path dispatches 50-step segments: this
+    # rig's tunneled backend costs ~28 ms per dispatch+sync round trip
+    # (a relay artifact; real TPU hosts pay ~0.1 ms), which at demo-config
+    # step times is ~30% of a 10-step segment.  50-step segments amortize
+    # it to <3%, matching what a production run (log_every-sized segments
+    # or larger) actually sees.
+    ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--impl", default=None,
                     help="kernel impl override: xla | pallas")
