@@ -493,6 +493,10 @@ def cmd_bench(args) -> int:
         v = getattr(args, f"mesh_{axis}")
         if v:
             cmd += [f"--mesh-{axis}", str(v)]
+    if args.cpu:
+        # Forward explicitly: env JAX_PLATFORMS inheritance is not reliable
+        # under this rig's site hook; bench.py --cpu pins it in-process.
+        cmd += ["--cpu"]
     return subprocess.call(cmd)
 
 
