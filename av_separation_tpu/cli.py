@@ -173,12 +173,17 @@ def _mesh_or_none(cfg, args=None):
     return None, cfg.mesh
 
 
-def _batches(cfg):
+def _batches(cfg, start_step: int = 0):
+    """Batch stream for the per-step train loop.  `start_step` makes a
+    checkpoint-resumed run replay the same stream an uninterrupted run
+    would see from that step (deterministic resume — each pipeline
+    fast-forwards statelessly, no batches are generated to skip)."""
     if cfg.train.data_pipeline == "device":
         from av_separation_tpu.data.device_synthetic import (
             device_batch_iterator)
         return device_batch_iterator(cfg.data, cfg.train.batch_size,
-                                     seed=cfg.train.seed)
+                                     seed=cfg.train.seed,
+                                     start_step=start_step)
     if cfg.train.data_pipeline == "files":
         from av_separation_tpu.data.files import (
             FileAVDataset, PrefetchIterator)
@@ -188,15 +193,17 @@ def _batches(cfg):
                            dynamic_mix=cfg.train.dynamic_mix,
                            seed=cfg.train.seed)
         return PrefetchIterator(ds, cfg.train.batch_size,
-                                seed=cfg.train.seed)
+                                seed=cfg.train.seed, start_step=start_step)
     if cfg.train.data_pipeline == "native":
         from av_separation_tpu.data.native_loader import NativeBatchIterator
         return NativeBatchIterator(cfg.data, cfg.train.batch_size,
-                                   seed=cfg.train.seed)
+                                   seed=cfg.train.seed,
+                                   start_step=start_step)
     from av_separation_tpu.data.loader import batch_iterator
     from av_separation_tpu.data.synthetic import SyntheticAVDataset
     ds = SyntheticAVDataset(cfg.data)
-    return batch_iterator(ds, cfg.train.batch_size, seed=cfg.train.seed)
+    return batch_iterator(ds, cfg.train.batch_size, seed=cfg.train.seed,
+                          start_step=start_step)
 
 
 def _eval_runner(cfg, model, mesh=None):
@@ -268,7 +275,7 @@ def cmd_train(args) -> int:
                                           start_step, evaluate, say)
         else:
             step_fn = make_train_step(model, cfg, mesh)
-            batches = _batches(cfg)
+            batches = _batches(cfg, start_step)
             if nproc > 1:
                 from av_separation_tpu.parallel.distributed import (
                     host_local_batch_to_global)

@@ -90,9 +90,16 @@ def generate_batch(key: jax.Array, cfg: DataConfig, batch_size: int,
 
 
 def device_batch_iterator(cfg: DataConfig, batch_size: int, seed: int = 0,
-                          stft_impl: str = "xla"):
-    """Infinite iterator of on-device batches (one fresh key per step)."""
-    key = jax.random.PRNGKey(seed)
+                          stft_impl: str = "xla", start_step: int = 0):
+    """Infinite iterator of on-device batches.
+
+    The per-step key is derived STATELESSLY as fold_in(seed_key, step), so
+    a run resumed at `start_step` replays exactly the stream an
+    uninterrupted run would produce from that step (deterministic resume —
+    VERDICT r3 #7), with no sequential split chain to fast-forward."""
+    base = jax.random.PRNGKey(seed)
+    step = start_step
     while True:
-        key, sub = jax.random.split(key)
-        yield generate_batch(sub, cfg, batch_size, stft_impl)
+        yield generate_batch(jax.random.fold_in(base, step), cfg,
+                             batch_size, stft_impl)
+        step += 1

@@ -194,10 +194,21 @@ class PrefetchIterator:
     """
 
     def __init__(self, dataset: FileAVDataset, batch_size: int,
-                 seed: int = 0, num_threads: int = 4, queue_depth: int = 4):
+                 seed: int = 0, num_threads: int = 4, queue_depth: int = 4,
+                 start_step: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        # Fast-forward the epoch-shuffle stream to the resume point: the
+        # resumed run draws batches from the same remaining index pool an
+        # uninterrupted run would (with num_threads > 1 the ORDER batches
+        # complete in is scheduling-dependent either way, so this is
+        # set-deterministic, not order-deterministic).
+        n = len(dataset)
+        bpe = max(1, n // batch_size)
+        for _ in range(start_step // bpe):
+            self.rng.permutation(n)
+        self._skip = start_step % bpe
         self._idx_q: "queue.Queue[List[int]]" = queue.Queue()
         self._out_q: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(
             maxsize=queue_depth)
@@ -215,6 +226,9 @@ class PrefetchIterator:
         n = len(self.ds)
         order = self.rng.permutation(n)
         for start in range(0, n - self.batch_size + 1, self.batch_size):
+            if self._skip:
+                self._skip -= 1
+                continue
             self._idx_q.put(list(order[start:start + self.batch_size]))
 
     def _worker(self) -> None:

@@ -168,18 +168,26 @@ def _attn_seq_sharded(qh, kh, vh, mesh, impl: str, dropout_rate: float,
     def local(q_blk, k_blk, v_blk, rng_blk, seed_blk):
         k_full = jax.lax.all_gather(k_blk, "seq", axis=2, tiled=True)
         v_full = jax.lax.all_gather(v_blk, "seq", axis=2, tiled=True)
-        idx = jax.lax.axis_index("seq")
+        # Decorrelate dropout across ALL sharded axes, not just 'seq':
+        # devices holding different batch/head shards must not replay the
+        # same mask stream (their local (b, h) tile coordinates restart at
+        # 0).  Same pos-packing scheme as _flash_sharded, with 'seq' packed
+        # in as the innermost axis.
+        pos = jnp.zeros((), jnp.int32)
+        for ax in (*data_axes, *(("model",) if model_sz > 1 else ()),
+                   "seq"):
+            pos = pos * jnp.int32(mesh.shape[ax]) + jax.lax.axis_index(ax)
         if impl == "pallas":
             from av_separation_tpu.ops.pallas.attention import (
                 flash_attention)
             if rate > 0.0:
-                seed_local = seed_blk + (idx.astype(jnp.int32) + 1) \
+                seed_local = seed_blk + (pos + 1) \
                     * jnp.int32(0x9E3779B1 - (1 << 32))
                 return flash_attention(q_blk, k_full, v_full,
                                        dropout_rate=rate,
                                        dropout_seed=seed_local)
             return flash_attention(q_blk, k_full, v_full)
-        rng_local = jax.random.fold_in(rng_blk, idx) \
+        rng_local = jax.random.fold_in(rng_blk, pos) \
             if rate > 0.0 else None
         return attention_xla(q_blk, k_full, v_full, rate, rng_local)
 

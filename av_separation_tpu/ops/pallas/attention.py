@@ -88,13 +88,22 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 def _interpret_active() -> bool:
     """True when tracing under pltpu.force_tpu_interpret_mode (the CI
     path): the TPU interpreter stubs pltpu.prng_random_bits to zeros, so
-    dropout must use the software hash there."""
+    dropout must use the software hash there.
+
+    Detection reads a private JAX config attr; if a JAX upgrade moves it,
+    this RAISES rather than guessing — silently choosing hw=True under the
+    interpreter would make every keep-threshold compare see zeros and drop
+    ALL attention probabilities (output silently zeroed in CI)."""
     try:
         from jax._src import config as _jconfig
-        return (_jconfig.pallas_tpu_interpret_mode_context_manager.value
-                is not None)
-    except Exception:
-        return False
+        ctx = _jconfig.pallas_tpu_interpret_mode_context_manager
+    except (ImportError, AttributeError) as e:  # pragma: no cover
+        raise RuntimeError(
+            "cannot detect pallas TPU interpret mode (private JAX config "
+            "attr moved?) — refusing to guess: hw-PRNG dropout under the "
+            "interpreter would silently zero attention. Update "
+            "_interpret_active for this JAX version.") from e
+    return ctx.value is not None
 
 
 def _keep_mask(seed_ref, b, i, j, shape, rate: float, hw: bool = False):
@@ -116,12 +125,16 @@ def _keep_mask(seed_ref, b, i, j, shape, rate: float, hw: bool = False):
     u = jnp.uint32
     if hw:
         threshold = u(min(int(rate * (1 << 32)), (1 << 32) - 1))
-        # Mosaic's prng_seed takes at most 2 values: pack the tile
-        # coordinates into one id (i, j < 2^10 always holds — blocks are
-        # >= 128 wide so a 2^10 block index covers T up to ~512k).
-        tile_id = (b.astype(jnp.int32) << 20) \
-            | (i.astype(jnp.int32) << 10) | j.astype(jnp.int32)
-        pltpu.prng_seed(seed_ref[0], tile_id)
+        # Mosaic's prng_seed takes at most 2 values: word 1 mixes the call
+        # seed with the (i, j) block coordinates, word 2 carries the
+        # batch*head index b alone — so BH is never shifted into high bits
+        # (the old (b << 20) packing overflowed the int32 sign bit at
+        # BH >= 2048 and ALIASED dropout streams between tiles at
+        # BH >= 4096).  j < 2^12 holds for Tk <= ~524k at >= 128-wide key
+        # blocks; i (query blocks >= 16 wide) stays well inside the
+        # remaining bits for any sequence this framework runs.
+        ij = (i.astype(jnp.int32) << 12) | j.astype(jnp.int32)
+        pltpu.prng_seed(seed_ref[0] + ij, b.astype(jnp.int32))
         bits = pltpu.prng_random_bits(shape)
         return bits.astype(u) >= threshold
     tile = (seed_ref[0].astype(u) * u(0x9E3779B9)

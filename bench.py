@@ -117,15 +117,32 @@ def main() -> int:
         k = max(10, args.steps // 5)
         fused = make_fused_train_steps(model, cfg, k, mesh)
         # Read XLA's own flops/bytes accounting for the roofline report.
-        # The AOT object is used ONLY for cost_analysis — executing it
+        # The AOT objects are used ONLY for cost_analysis — executing them
         # hangs on the axon-tunneled backend, so the timed loop runs the
         # ordinary jit call (the compile is shared via the cache).
+        #
+        # Per-step bytes are MARGINAL: cost-analyze the scan at two lengths
+        # (k and 2k) and difference them, so once-per-call traffic (state
+        # in/out, donation copies) doesn't leak into the per-step figure.
+        # Round 3 shipped bytes_per_call/k, which made the reported bound
+        # flip between "compute" (k=50, BENCH_r03) and "bandwidth" (k=10,
+        # sweep.md) for the SAME config — VERDICT r3 weak #2.
         try:
             ca = xla_cost_analysis(fused.lower(state).compile())
             if ca.get("bytes accessed"):
                 compiled_cost = {"bytes_per_call": ca["bytes accessed"],
                                  "transcendentals": ca.get("transcendentals"),
                                  "steps_per_call": k}
+                fused2 = make_fused_train_steps(model, cfg, 2 * k, mesh)
+                ca2 = xla_cost_analysis(fused2.lower(state).compile())
+                if ca2.get("bytes accessed"):
+                    compiled_cost["bytes_per_step"] = (
+                        ca2["bytes accessed"] - ca["bytes accessed"]) / k
+                    if ca.get("transcendentals") is not None \
+                            and ca2.get("transcendentals") is not None:
+                        compiled_cost["transcendentals_per_step"] = (
+                            ca2["transcendentals"]
+                            - ca["transcendentals"]) / k
         except Exception:
             pass
         state, loss = fused(state)  # compile + warm
@@ -192,7 +209,13 @@ def main() -> int:
             roofline, train_step_bytes, train_step_flops)
         flops = train_step_flops(cfg, b, include_data_gen=(
             args.mode == "fused")) * total_steps
-        if compiled_cost.get("bytes_per_call"):
+        if compiled_cost.get("bytes_per_step"):
+            # Marginal per-step bytes (two-scan-length difference): the
+            # per-step figure a long production run actually pays, and
+            # identical no matter what --steps the caller picked.
+            bytes_total = compiled_cost["bytes_per_step"] * total_steps
+            bytes_src = "xla_cost_analysis_marginal"
+        elif compiled_cost.get("bytes_per_call"):
             calls = total_steps / compiled_cost["steps_per_call"]
             bytes_total = compiled_cost["bytes_per_call"] * calls
             bytes_src = "xla_cost_analysis"
@@ -203,10 +226,13 @@ def main() -> int:
                       jax.devices()[0].device_kind)
         if rl:
             rl["bytes_source"] = bytes_src
-            if compiled_cost.get("transcendentals"):
+            if compiled_cost.get("transcendentals_per_step") is not None:
                 # VPU-side exp/sin work (softmax, on-device sine data gen)
                 # that matmul-FLOP accounting misses — reported so a low
                 # pct_roofline at small configs is explainable.
+                rl["transcendentals_per_step"] = round(
+                    compiled_cost["transcendentals_per_step"])
+            elif compiled_cost.get("transcendentals"):
                 rl["transcendentals_per_step"] = round(
                     compiled_cost["transcendentals"]
                     / compiled_cost["steps_per_call"])

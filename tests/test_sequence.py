@@ -180,6 +180,57 @@ class TestSeqAxisTraining:
         np.testing.assert_allclose(float(m1["loss"]), float(mS["loss"]),
                                    atol=1e-4, rtol=1e-5)
 
+    def test_seq_dropout_decorrelated_across_data_shards(self):
+        """ADVICE r3 (medium): on a (data=2, seq=2) mesh the seq-sharded
+        attention path must fold the data-axis position into the dropout
+        rng — identical batch elements placed on DIFFERENT data shards
+        must draw different masks (the bug made them identical)."""
+        from av_separation_tpu.ops import policy
+
+        mesh = make_mesh(MeshConfig(data=2, seq=2))
+        q1 = rand((1, 32, 16), 0)
+        k1 = rand((1, 32, 16), 1)
+        v1 = rand((1, 32, 16), 2)
+        q = jnp.concatenate([q1, q1], 0)  # identical rows, distinct shards
+        k = jnp.concatenate([k1, k1], 0)
+        v = jnp.concatenate([v1, v1], 0)
+
+        def f(q, k, v):
+            with policy.use_mesh(mesh):
+                return multi_head_attention(
+                    q, k, v, nhead=2, impl="xla", dropout_rate=0.5,
+                    dropout_rng=jax.random.PRNGKey(7))
+
+        with mesh:
+            out = np.asarray(jax.jit(f)(q, k, v))
+        assert np.all(np.isfinite(out))
+        assert not np.allclose(out[0], out[1]), \
+            "dropout masks correlated across data shards"
+
+    def test_seq_dropout_grads_finite(self):
+        """Gradients flow through the seq-sharded dropout path (ADVICE r3:
+        this path previously had zero dropout>0 coverage)."""
+        from av_separation_tpu.ops import policy
+
+        mesh = make_mesh(MeshConfig(data=2, seq=2))
+        q = rand((2, 32, 16), 3)
+        k = rand((2, 32, 16), 4)
+        v = rand((2, 32, 16), 5)
+
+        def loss(q, k, v):
+            with policy.use_mesh(mesh):
+                out = multi_head_attention(
+                    q, k, v, nhead=2, impl="xla", dropout_rate=0.3,
+                    dropout_rng=jax.random.PRNGKey(9))
+            return jnp.sum(jnp.square(out))
+
+        with mesh:
+            g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+        for gi in g:
+            arr = np.asarray(gi)
+            assert np.all(np.isfinite(arr))
+            assert np.any(arr != 0.0)
+
     def test_seq_axis_activations_actually_sharded(self):
         """The constraint is live: a jitted forward under seq=4 produces a
         T-sharded fused activation (check via the output mask sharding of a

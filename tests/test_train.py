@@ -134,6 +134,60 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == 1
 
+    def test_resume_replays_uninterrupted_stream(self, tmp_path):
+        """Deterministic resume (VERDICT r3 #7): restore at step 3 and
+        fast-forward the batch stream by state.step — the resumed loss
+        trajectory must equal the uninterrupted run's bitwise (same jitted
+        step, same batches, same restored state; crosses an epoch boundary
+        so the epoch fast-forward path is exercised too)."""
+        pytest.importorskip("orbax.checkpoint")
+        from av_separation_tpu.data.loader import batch_iterator
+        from av_separation_tpu.data.synthetic import SyntheticAVDataset
+        from av_separation_tpu.utils.checkpoint import (
+            restore_checkpoint, save_checkpoint)
+
+        ds = SyntheticAVDataset(TINY.data)
+
+        def dev(b):
+            return {k: jnp.asarray(v) for k, v in b.items()}
+
+        model, state = create_train_state(TINY)
+        step = make_train_step(model, TINY)
+        losses = []
+        it = batch_iterator(ds, TINY.train.batch_size, seed=0)
+        for _ in range(6):
+            state, m = step(state, dev(next(it)))
+            losses.append(float(m["loss"]))
+
+        _, s2 = create_train_state(TINY)
+        it2 = batch_iterator(ds, TINY.train.batch_size, seed=0)
+        for _ in range(3):
+            s2, _ = step(s2, dev(next(it2)))
+        save_checkpoint(str(tmp_path / "ck"), 3, s2, wait=True)
+
+        _, fresh = create_train_state(TINY)
+        s3 = restore_checkpoint(str(tmp_path / "ck"), fresh)
+        it3 = batch_iterator(ds, TINY.train.batch_size, seed=0,
+                             start_step=int(s3.step))
+        resumed = []
+        for _ in range(3):
+            s3, m3 = step(s3, dev(next(it3)))
+            resumed.append(float(m3["loss"]))
+        np.testing.assert_array_equal(np.asarray(resumed),
+                                      np.asarray(losses[3:]))
+
+    def test_device_iterator_start_step_is_stateless(self):
+        from av_separation_tpu.data.device_synthetic import (
+            device_batch_iterator)
+        full = device_batch_iterator(TINY.data, 2, seed=5)
+        skipped = [next(full) for _ in range(4)][2:]
+        resumed_it = device_batch_iterator(TINY.data, 2, seed=5,
+                                           start_step=2)
+        for want, got in zip(skipped, (next(resumed_it) for _ in range(2))):
+            for k in want:
+                np.testing.assert_array_equal(np.asarray(want[k]),
+                                              np.asarray(got[k]))
+
     def test_restore_missing_dir_returns_input(self, tmp_path):
         pytest.importorskip("orbax.checkpoint")
         from av_separation_tpu.utils.checkpoint import restore_checkpoint

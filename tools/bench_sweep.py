@@ -46,7 +46,11 @@ QUICK_RUNS = [
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=50)
+    # Default matches the driver's bench.py invocation (250 steps -> 50-step
+    # fused segments) so sweep rows and BENCH_r*.json are directly
+    # comparable; per-step roofline fields are k-independent now anyway
+    # (marginal-bytes accounting in bench.py).
+    ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "bench_results"))
     args = ap.parse_args()
