@@ -133,6 +133,41 @@ class AudioEncoder(nn.Module):
         return h
 
 
+class _Conv2dParams(nn.Module):
+    """Raw 3x3 conv kernel+bias holder with the SAME param names, shapes
+    and initializers as the `nn.Conv` the XLA stem path creates — so the
+    fused Pallas stem reads the identical parameter tree (reference torch
+    weights transplant into either path)."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_kernel_init,
+                            (3, 3, self.cin, self.cout))
+        bias = self.param("bias", torch_bias_init(0), (self.cout,))
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Raw BatchNorm parameter/variable holder mirroring TorchBatchNorm's
+    tree (params scale/bias, batch_stats mean/var) for the fused stem."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,),
+                                               jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
 class VisualEncoder(nn.Module):
     """Lip-frame encoder (reference model.py:67-117).
 
@@ -140,9 +175,12 @@ class VisualEncoder(nn.Module):
 
     All B*N frames are folded into one batch for the conv stem (stride-2 conv
     + BN + ReLU x3, channels 1->32->64->128, then global average pool), so the
-    small spatial convs batch into MXU-sized work.  The frame sequence then
-    runs through a pre-norm transformer and is linearly resampled to the audio
-    frame rate with exact `F.interpolate(align_corners=False)` semantics.
+    small spatial convs batch into MXU-sized work.  In training on TPU the
+    stem runs as fused Pallas kernels (ops/pallas/conv_stem.py — measured at
+    ~37% of the demo/lrs2 step as separate XLA passes); `stem_impl` selects,
+    resolved through ops/policy.py.  The frame sequence then runs through a
+    pre-norm transformer and is linearly resampled to the audio frame rate
+    with exact `F.interpolate(align_corners=False)` semantics.
     """
 
     cfg: ModelConfig
@@ -150,16 +188,41 @@ class VisualEncoder(nn.Module):
     @nn.compact
     def __call__(self, frames: jnp.ndarray, target_len: int, *,
                  deterministic: bool = True):
+        from av_separation_tpu.ops.policy import resolve_stem
         cfg = self.cfg
         b, n, h_dim, w_dim = frames.shape
         x = frames.reshape(b * n, h_dim, w_dim, 1)
-        for i, ch in enumerate((32, 64, 128)):
-            x = _conv(ch, (3, 3), (2, 2), [(1, 1), (1, 1)], f"conv{i + 1}",
-                      _cdt(cfg))(x)
-            x = TorchBatchNorm(ch, name=f"bn{i + 1}")(
-                x, use_running_average=deterministic)
-            x = nn.relu(x)
-        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B*N, 128)
+        use_fused_stem = (not deterministic and resolve_stem(
+            cfg.stem_impl, h_dim, w_dim) == "pallas")
+        if use_fused_stem:
+            from av_separation_tpu.ops.pallas.conv_stem import (
+                fused_visual_stem)
+            args, running = [], []
+            for i, (ci, co) in enumerate(((1, 32), (32, 64), (64, 128))):
+                w, cb = _Conv2dParams(ci, co, name=f"conv{i + 1}")()
+                ga, be, rm, rv = _BNParams(co, name=f"bn{i + 1}")()
+                args += [w, cb, ga, be]
+                running.append((rm, rv))
+            pooled, stats = fused_visual_stem(x, *args)
+            if not self.is_initializing():
+                # torch BatchNorm2d running-stat update: momentum 0.1,
+                # UNBIASED batch variance (TorchBatchNorm semantics).
+                f_all = b * n
+                for li, (rm, rv) in enumerate(running):
+                    m_cnt = f_all * (h_dim >> (li + 1)) * (w_dim >> (li + 1))
+                    bm, bv = stats[2 * li], stats[2 * li + 1]
+                    rm.value = 0.9 * rm.value + 0.1 * bm
+                    rv.value = (0.9 * rv.value
+                                + 0.1 * bv * (m_cnt / max(m_cnt - 1, 1)))
+            x = pooled
+        else:
+            for i, ch in enumerate((32, 64, 128)):
+                x = _conv(ch, (3, 3), (2, 2), [(1, 1), (1, 1)],
+                          f"conv{i + 1}", _cdt(cfg))(x)
+                x = TorchBatchNorm(ch, name=f"bn{i + 1}")(
+                    x, use_running_average=deterministic)
+                x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))  # global avg pool -> (B*N, 128)
         x = dense(cfg.d_model, 128, "frame_proj", _cdt(cfg))(x)
         x = x.reshape(b, n, cfg.d_model)
 

@@ -128,6 +128,30 @@ def resolve_attention(impl: str, tq: int, tk: int) -> str:
     return "pallas" if tq * tk >= AUTO_MIN_SCORE_ELEMS else "xla"
 
 
+def resolve_stem(impl: str, frame_h: int, frame_w: int) -> str:
+    """Trace-time resolution for the fused visual conv stem
+    (ops/pallas/conv_stem.py, TRAIN mode only — the caller gates on
+    deterministic).  'auto' -> 'pallas' on TPU for stride-compatible frame
+    sizes; 'xla' under a sharded mesh (GSPMD cannot partition the
+    pallas_call; the XLA conv partitions natively) or on other backends.
+
+    Provenance: the XLA stem measured 37% of the demo step (32x32 frames,
+    bench_results/profile_demo_auto.jsonl) and 36% of the lrs2 step (96x96,
+    bench_results/profile_lrs2_auto.jsonl) — cost is per-layer HBM passes
+    (conv / BN stats / BN apply), which the fused kernels collapse; see the
+    sweep rows {config: demo|lrs2, impl: auto vs xla} for the A/B.
+    """
+    if impl != "auto":
+        return impl
+    if resolved_platform() != "tpu":
+        return "xla"
+    if frame_h % 8 or frame_w % 8:
+        return "xla"  # three stride-2 halvings need divisibility
+    if mesh_axis_size(active_mesh(), "data", "fsdp", "seq", "model") > 1:
+        return "xla"
+    return "pallas"
+
+
 def resolve_fused(impl: str, seq_len: int) -> str:
     """Trace-time resolution for the fused projection/decoder kernels:
     'auto' -> 'pallas' on TPU at seq_len >= FUSED_MIN_SEQ, else 'xla'.

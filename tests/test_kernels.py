@@ -481,3 +481,78 @@ class TestShardedFlashAttention:
         val, g = jax.value_and_grad(loss)(q)
         assert np.isfinite(float(val))
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestFusedConvStem:
+    """Fused visual conv stem (ops/pallas/conv_stem.py) vs the XLA
+    VisualEncoder stem path — forward, batch-stat updates, and parameter
+    gradients (train-mode BN), in interpret mode."""
+
+    def _encoders(self):
+        from av_separation_tpu.config import ModelConfig
+        from av_separation_tpu.models.model import VisualEncoder
+        cfg_x = ModelConfig(freq_bins=65, d_model=64, nhead=2,
+                            num_encoder_layers=1, num_fusion_layers=1,
+                            dropout=0.0, stem_impl="xla")
+        return (VisualEncoder(cfg_x),
+                VisualEncoder(cfg_x.replace(stem_impl="pallas")))
+
+    def test_forward_and_batch_stats_allclose(self):
+        vx, vp = self._encoders()
+        frames = rand((2, 10, 32, 32), 0)
+        variables = vx.init(jax.random.PRNGKey(0), frames, 16)
+        outx, mutx = vx.apply(variables, frames, 16, deterministic=False,
+                              mutable=["batch_stats"])
+        outp, mutp = vp.apply(variables, frames, 16, deterministic=False,
+                              mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(outp), np.asarray(outx),
+                                   atol=2e-5, rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(mutx), jax.tree.leaves(mutp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_param_grads_allclose(self):
+        vx, vp = self._encoders()
+        frames = rand((2, 8, 32, 32), 1)
+        variables = vx.init(jax.random.PRNGKey(0), frames, 16)
+        probe = rand((2, 16, 64), 2)
+
+        def loss(enc, params):
+            out, _ = enc.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                frames, 16, deterministic=False, mutable=["batch_stats"])
+            return jnp.sum(out * probe)
+
+        gx = jax.grad(lambda p: loss(vx, p))(variables["params"])
+        gp = jax.grad(lambda p: loss(vp, p))(variables["params"])
+        flat_x = jax.tree_util.tree_leaves_with_path(gx)
+        flat_p = jax.tree.leaves(gp)
+        for (path, a), b in zip(flat_x, flat_p):
+            scale = max(1e-6, float(np.max(np.abs(np.asarray(a)))))
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4 + 1e-4 * scale,
+                err_msg=str(path))
+
+    def test_param_tree_identical_across_impls(self):
+        vx, vp = self._encoders()
+        frames = rand((1, 4, 32, 32), 3)
+        va = vx.init(jax.random.PRNGKey(0), frames, 8)
+        vb = vp.init(jax.random.PRNGKey(0), frames, 8,
+                     deterministic=False)
+        assert (jax.tree_util.tree_structure(va)
+                == jax.tree_util.tree_structure(vb))
+        for a, b in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resolver_falls_back_off_tpu_and_on_mesh(self):
+        from av_separation_tpu.ops import policy
+        assert policy.resolve_stem("auto", 32, 32) == "xla"  # cpu backend
+        with policy.target_platform("tpu"):
+            assert policy.resolve_stem("auto", 32, 32) == "pallas"
+            assert policy.resolve_stem("auto", 30, 32) == "xla"
+            from av_separation_tpu.config import MeshConfig
+            from av_separation_tpu.parallel.mesh import make_mesh
+            if jax.device_count() >= 2:
+                with policy.use_mesh(make_mesh(MeshConfig(data=2))):
+                    assert policy.resolve_stem("auto", 32, 32) == "xla"
