@@ -62,11 +62,16 @@ from jax.experimental.pallas import tpu as pltpu
 _TAP = {0: (0, 0), 1: (1, 0), 2: (0, 1)}
 
 
-def _pick_fb(f: int, ho: int, wo: int, max_rows: int = 4096) -> int:
-    """Largest divisor of `f` keeping the im2col row count <= max_rows —
-    few, fat programs (the per-program overhead at demo shapes would
-    otherwise dominate; see ops/pallas/attention.py block notes)."""
-    cap = max(1, max_rows // (ho * wo))
+def _pick_fb(f: int, ho: int, wo: int, max_rows: int = 4096,
+             max_fb: int = 8) -> int:
+    """Largest divisor of `f` keeping the im2col row count <= max_rows AND
+    fb <= max_fb.  The fb cap is a MOSAIC COMPILE-TIME constraint, not a
+    perf choice: the parity-split reshapes relayout per leading-dim
+    element, and compile time explodes superlinearly in fb (fb=6 compiles
+    in ~7 s; fb=48 got the remote compile helper OOM-killed).  Grid steps
+    on a TPU core are pipelined loop iterations, not dispatches, so many
+    small programs are cheap."""
+    cap = max(1, min(max_rows // (ho * wo), max_fb))
     best = 1
     for d in range(1, min(f, cap) + 1):
         if f % d == 0:
@@ -263,20 +268,30 @@ def _dgrad_kernel(w_ref, sc_ref, bi_ref, mn_ref, iv_ref, y_ref, g_ref,
             c = jnp.pad(c, ((0, 0), (o, 1 - o), (u, 1 - u), (0, 0)))
             planes[(a, b)] = c if (a, b) not in planes \
                 else planes[(a, b)] + c
-    # Crop each halo plane to its valid rows/cols (plane (a, b) holds
-    # output rows r = 2k + (1 - a), cols c = 2m + (1 - b)), apply the
-    # previous layer's ReLU mask (y parity (1-a, 1-b) aligns with plane
-    # index k exactly), and accumulate the BN-backward reductions.
+    # Apply the previous layer's ReLU mask + a validity mask and emit each
+    # plane in HALO shape (hp+1, wp+1) — no cropped (offset-layout) values
+    # are reduced or written, which Mosaic rejects ("input layout must
+    # have zero offsets over dimensions that are being reduced"); the XLA
+    # glue (_interleave_planes) crops.  Plane (a, b) element i holds
+    # output row r = 2i + a - 1 (valid i: [1, hp] for a=0, [0, hp) for
+    # a=1); the matching y row has parity 1-a at block index i - (1 - a),
+    # built here by zero-padding the y parity slice into halo shape.
     yv = y_ref[...].reshape(fb, hp, 2, wp, 2, cin)
     outs = {(0, 0): p00_ref, (0, 1): p01_ref, (1, 0): p10_ref,
             (1, 1): p11_ref}
     for (a, b), plane in planes.items():
-        rs = slice(1, hp + 1) if a == 0 else slice(0, hp)
-        cs = slice(1, wp + 1) if b == 0 else slice(0, wp)
-        da = plane[:, rs, cs, :]
         ym = yv[:, :, 1 - a, :, 1 - b, :].astype(jnp.float32)
-        pre = (ym * sc_ref[...] + bi_ref[...]).astype(y_ref.dtype)
-        hh = jnp.where(pre > 0, da, 0.0)
+        ym = jnp.pad(ym, ((0, 0), (1 - a, a), (1 - b, b), (0, 0)))
+        row = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 2)
+        valid = ((row >= 1 - a) & (row < hp + 1 - a)
+                 & (col >= 1 - b) & (col < wp + 1 - b))
+        # Compare in f32 on the compute-dtype-ROUNDED value (bf16 vector
+        # compares are unsupported on this target; the round-trip keeps
+        # the mask identical to the XLA path's relu'(bf16 activation)).
+        pre = (ym * sc_ref[...] + bi_ref[...]).astype(y_ref.dtype) \
+            .astype(jnp.float32)
+        hh = jnp.where(valid & (pre > 0), plane, 0.0)
         xhat = (ym - mn_ref[...]) * iv_ref[...]
         acc[0:1, :] += jnp.sum(hh, axis=(0, 1, 2)).reshape(1, -1)
         acc[1:2, :] += jnp.sum(hh * xhat, axis=(0, 1, 2)).reshape(1, -1)
@@ -299,9 +314,10 @@ def _conv_dgrad(g, w9, y_prev, sc, bi, mn, iv):
     fb = _pick_fb(f, hp, wp)
     cout = g.shape[-1]
     kernel = functools.partial(_dgrad_kernel, fb=fb, hp=hp, wp=wp, cin=cin)
-    plane_spec = pl.BlockSpec((fb, hp, wp, cin), lambda i: (i, 0, 0, 0),
+    plane_spec = pl.BlockSpec((fb, hp + 1, wp + 1, cin),
+                              lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
-    plane_shape = jax.ShapeDtypeStruct((f, hp, wp, cin), g.dtype)
+    plane_shape = jax.ShapeDtypeStruct((f, hp + 1, wp + 1, cin), g.dtype)
     p00, p01, p10, p11, st = pl.pallas_call(
         kernel,
         grid=(f // fb,),
@@ -329,14 +345,22 @@ def _conv_dgrad(g, w9, y_prev, sc, bi, mn, iv):
 
 
 def _interleave_planes(planes: dict) -> jnp.ndarray:
-    """{(a, b): (F, hp, wp, C)} plane tensors -> (F, H, W, C): output row
-    2k comes from a=1 planes, row 2k+1 from a=0; same for cols with b.
+    """{(a, b): (F, hp+1, wp+1, C)} HALO plane tensors -> (F, H, W, C).
+
+    Plane (a, b) element i holds output row r = 2i + a - 1, so the valid
+    crop is rows [1:] for a=0 and [:-1] for a=1 (cols likewise with b);
+    after cropping, even rows come from a=1 planes and odd from a=0.
     Runs in XLA, fused into the adjacent elementwise BN-backward pass."""
-    ev = jnp.stack([planes[(1, 1)], planes[(1, 0)]], axis=3)
-    od = jnp.stack([planes[(0, 1)], planes[(0, 0)]], axis=3)
+    c = {}
+    for (a, b), t in planes.items():
+        rs = slice(1, None) if a == 0 else slice(0, -1)
+        cs = slice(1, None) if b == 0 else slice(0, -1)
+        c[(a, b)] = t[:, rs, cs, :]
+    ev = jnp.stack([c[(1, 1)], c[(1, 0)]], axis=3)
+    od = jnp.stack([c[(0, 1)], c[(0, 0)]], axis=3)
     x = jnp.stack([ev, od], axis=2)  # (F, hp, 2, wp, 2, C)
-    f, hp, _, wp, _, c = x.shape
-    return x.reshape(f, hp * 2, wp * 2, c)
+    f, hp, _, wp, _, ch = x.shape
+    return x.reshape(f, hp * 2, wp * 2, ch)
 
 
 # ---------------------------------------------------------------------------

@@ -556,3 +556,29 @@ class TestFusedConvStem:
             if jax.device_count() >= 2:
                 with policy.use_mesh(make_mesh(MeshConfig(data=2))):
                     assert policy.resolve_stem("auto", 32, 32) == "xla"
+
+
+class TestRegenDropout:
+    """fast_dropout regenerates its keep mask in the backward pass from
+    the rng key (custom VJP) — the gradient must equal mask*scale with
+    the SAME mask the forward applied, for both key impls."""
+
+    @pytest.mark.parametrize("impl", [None, "rbg"])
+    def test_bwd_mask_matches_fwd(self, impl):
+        from av_separation_tpu.ops.dropout import fast_dropout
+        rng = jax.random.key(3, impl=impl) if impl \
+            else jax.random.PRNGKey(3)
+        x = rand((64, 128), 0) + 1.0  # bounded away from exact zero
+        o = jax.jit(lambda x: fast_dropout(x, 0.1, rng))(x)
+        g = jax.jit(jax.grad(
+            lambda x: jnp.sum(fast_dropout(x, 0.1, rng))))(x)
+        mask = np.asarray(o != 0)
+        assert 0.03 < 1 - mask.mean() < 0.2
+        want = np.where(mask, 1.0 / (1.0 - 26 / 256.0), 0.0)
+        np.testing.assert_allclose(np.asarray(g), want, atol=1e-6)
+
+    def test_deterministic_passthrough(self):
+        from av_separation_tpu.ops.dropout import Dropout
+        x = rand((4, 8), 1)
+        y = Dropout(0.5).apply({}, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
