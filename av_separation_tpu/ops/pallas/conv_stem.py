@@ -22,11 +22,12 @@ artifacts, v5e):
 
 Key layout trick: a stride-2 3x3 'SAME' conv becomes NINE stride-1 tap
 reads after an even/odd space-to-depth split, done ON VALUES in VMEM
-(reshape + static slice — no strided memory access, which Mosaic lacks):
-output pixel (p, q) reads input row 2p+dy-1, which is plane a=(dy+1)%%2 at
-block row p + si (si in {-1, 0}).  The nine shifted planes concatenate on
-the lane (channel) axis into an implicit-im2col patch matrix
-(rows=F*Ho*Wo, K=9*Cin) for a single f32-accumulating MXU matmul.
+(zero-pad + reshape + STATIC slice — no strided memory access, which
+Mosaic lacks): after a 1-pixel pad, padded input row 2p+dy is plane
+a=dy%%2 at block row p + dy//2.  Each tap is an (F*Ho*Wo, Cin) matrix fed
+to one of nine accumulating f32 MXU matmuls (a single lane-axis concat
+into a K=9*Cin matrix is rejected by Mosaic with an offset-mismatch
+error, and roll+mask shifts compile pathologically slowly).
 
 Backward (the bulk of the XLA cost) has two kernels per layer:
   - wgrad: patches(prologue-recomputed input)^T @ g, accumulated in a
@@ -60,6 +61,14 @@ from jax.experimental.pallas import tpu as pltpu
 # (plane parity a, block offset o) per kernel tap offset d in {0, 1, 2}
 # AFTER 1-pixel zero padding: padded input row rp = 2p + d = 2*(p + o) + a.
 _TAP = {0: (0, 0), 1: (1, 0), 2: (0, 1)}
+
+# Raised scoped-VMEM limit for these kernels: the unrolled parity-split /
+# tap-slice chain makes Mosaic's stack allocator hold many live relayout
+# copies (measured 74 MB at fb=6 on the 48x48x32 layer vs the 16 MB
+# default), and v5e has 128 MB of physical VMEM — so give the kernels
+# most of it rather than shrinking fb to 1 (more, smaller programs would
+# pay the pipeline bubble instead).
+_VMEM_LIMIT = 96 * 1024 * 1024
 
 
 def _pick_fb(f: int, ho: int, wo: int, max_rows: int = 4096,
@@ -177,7 +186,8 @@ def _conv_fwd(x, w9, cb, sc, bi, *, prologue: bool):
         ],
         scratch_shapes=[pltpu.VMEM((2, cout), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(w9, cb, sc, bi, x)
 
 
@@ -231,7 +241,8 @@ def _conv_wgrad(x, g, sc, bi, *, prologue: bool):
         out_shape=jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32),
         scratch_shapes=[pltpu.VMEM((9 * cin, cout), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(sc, bi, x, g)
 
 
@@ -339,7 +350,8 @@ def _conv_dgrad(g, w9, y_prev, sc, bi, mn, iv):
             jax.ShapeDtypeStruct((2, cin), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((2, cin), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(w9, sc, bi, mn, iv, y_prev, g)
     return {(0, 0): p00, (0, 1): p01, (1, 0): p10, (1, 1): p11}, st
 
