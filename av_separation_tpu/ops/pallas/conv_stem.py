@@ -71,16 +71,21 @@ _TAP = {0: (0, 0), 1: (1, 0), 2: (0, 1)}
 _VMEM_LIMIT = 96 * 1024 * 1024
 
 
-def _pick_fb(f: int, ho: int, wo: int, max_rows: int = 4096,
-             max_fb: int = 8) -> int:
-    """Largest divisor of `f` keeping the im2col row count <= max_rows AND
-    fb <= max_fb.  The fb cap is a MOSAIC COMPILE-TIME constraint, not a
-    perf choice: the parity-split reshapes relayout per leading-dim
-    element, and compile time explodes superlinearly in fb (fb=6 compiles
-    in ~7 s; fb=48 got the remote compile helper OOM-killed).  Grid steps
-    on a TPU core are pipelined loop iterations, not dispatches, so many
-    small programs are cheap."""
+def _pick_fb(f: int, ho: int, wo: int, in_elems_per_frame: int = 0,
+             max_rows: int = 4096, max_fb: int = 8) -> int:
+    """Largest divisor of `f` keeping the im2col row count <= max_rows,
+    fb <= max_fb, AND the input block under ~250k elements.  The caps are
+    MOSAIC COMPILE-TIME constraints, not perf choices: the parity-split
+    relayouts unroll per leading-dim element (compile time explodes
+    superlinearly in fb — fb=48 OOM-killed the compile helper), and the
+    unrolled live set also scales with the block (the 48x48x32 layer at
+    fb=6 needs 74 MB of kernel VMEM stack and ~11 min of compile; its
+    wgrad at fb=6 OOM-killed the compiler outright).  Grid steps on a TPU
+    core are pipelined loop iterations, not dispatches, so many small
+    programs are cheap."""
     cap = max(1, min(max_rows // (ho * wo), max_fb))
+    if in_elems_per_frame:
+        cap = max(1, min(cap, 250_000 // in_elems_per_frame))
     best = 1
     for d in range(1, min(f, cap) + 1):
         if f % d == 0:
@@ -160,7 +165,7 @@ def _conv_fwd(x, w9, cb, sc, bi, *, prologue: bool):
     f, h, w_, cin = x.shape
     cout = w9.shape[1]
     hp, wp = h // 2, w_ // 2
-    fb = _pick_fb(f, hp, wp)
+    fb = _pick_fb(f, hp, wp, h * w_ * cin)
     kernel = functools.partial(_fwd_kernel, fb=fb, hp=hp, wp=wp, cin=cin,
                                cout=cout, prologue=prologue)
     return pl.pallas_call(
@@ -222,7 +227,7 @@ def _conv_wgrad(x, g, sc, bi, *, prologue: bool):
     f, h, w_, cin = x.shape
     cout = g.shape[-1]
     hp, wp = h // 2, w_ // 2
-    fb = _pick_fb(f, hp, wp)
+    fb = _pick_fb(f, hp, wp, h * w_ * cin)
     kernel = functools.partial(_wgrad_kernel, fb=fb, hp=hp, wp=wp,
                                cin=cin, prologue=prologue)
     return pl.pallas_call(
@@ -322,7 +327,7 @@ def _conv_dgrad(g, w9, y_prev, sc, bi, mn, iv):
     (2, Cin) f32 [sum h, sum h*x_hat])."""
     f, h, w_, cin = y_prev.shape
     hp, wp = h // 2, w_ // 2
-    fb = _pick_fb(f, hp, wp)
+    fb = _pick_fb(f, hp, wp, h * w_ * cin)
     cout = g.shape[-1]
     kernel = functools.partial(_dgrad_kernel, fb=fb, hp=hp, wp=wp, cin=cin)
     plane_spec = pl.BlockSpec((fb, hp + 1, wp + 1, cin),
