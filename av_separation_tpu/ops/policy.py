@@ -131,25 +131,23 @@ def resolve_attention(impl: str, tq: int, tk: int) -> str:
 def resolve_stem(impl: str, frame_h: int, frame_w: int) -> str:
     """Trace-time resolution for the fused visual conv stem
     (ops/pallas/conv_stem.py, TRAIN mode only — the caller gates on
-    deterministic).  'auto' -> 'pallas' on TPU for stride-compatible frame
-    sizes; 'xla' under a sharded mesh (GSPMD cannot partition the
-    pallas_call; the XLA conv partitions natively) or on other backends.
+    deterministic).
 
-    Provenance: the XLA stem measured 37% of the demo step (32x32 frames,
-    bench_results/profile_demo_auto.jsonl) and 36% of the lrs2 step (96x96,
-    bench_results/profile_lrs2_auto.jsonl) — cost is per-layer HBM passes
-    (conv / BN stats / BN apply), which the fused kernels collapse; see the
-    sweep rows {config: demo|lrs2, impl: auto vs xla} for the A/B.
+    'auto' currently resolves to 'xla' EVERYWHERE: the v1 fused kernels
+    are numerically gated (192-test interpret suite + on-chip checks) but
+    measured 12x SLOWER than the XLA stem end-to-end on v5e (demo shapes:
+    21.7 ms vs 1.7 ms fwd) — the in-kernel even/odd parity restructuring
+    that makes the stride-2 taps static slices executes as per-program
+    sublane-shuffle chains at runtime.  The v2 design (XLA-side plane
+    pre-split + flat 2D kernels with manual halo DMA) is the roadmap fix;
+    until a sweep shows a pallas win, 'auto' must not regress the step
+    ('pallas' stays available explicitly for development).  Motivation for
+    eventually winning here: the XLA stem is 37%/36% of the demo/lrs2
+    steps (bench_results/profile_{demo,lrs2}_auto.jsonl).
     """
     if impl != "auto":
         return impl
-    if resolved_platform() != "tpu":
-        return "xla"
-    if frame_h % 8 or frame_w % 8:
-        return "xla"  # three stride-2 halvings need divisibility
-    if mesh_axis_size(active_mesh(), "data", "fsdp", "seq", "model") > 1:
-        return "xla"
-    return "pallas"
+    return "xla"
 
 
 def resolve_fused(impl: str, seq_len: int) -> str:

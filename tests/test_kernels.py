@@ -545,17 +545,15 @@ class TestFusedConvStem:
         for a, b in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_resolver_falls_back_off_tpu_and_on_mesh(self):
+    def test_resolver_auto_is_xla_until_kernel_wins(self):
+        # 'auto' resolves to xla everywhere: the v1 fused stem measured
+        # 12x slower than the XLA stem on chip (see ops/policy.py
+        # resolve_stem) — explicit 'pallas' stays available.
         from av_separation_tpu.ops import policy
-        assert policy.resolve_stem("auto", 32, 32) == "xla"  # cpu backend
+        assert policy.resolve_stem("auto", 32, 32) == "xla"
         with policy.target_platform("tpu"):
-            assert policy.resolve_stem("auto", 32, 32) == "pallas"
-            assert policy.resolve_stem("auto", 30, 32) == "xla"
-            from av_separation_tpu.config import MeshConfig
-            from av_separation_tpu.parallel.mesh import make_mesh
-            if jax.device_count() >= 2:
-                with policy.use_mesh(make_mesh(MeshConfig(data=2))):
-                    assert policy.resolve_stem("auto", 32, 32) == "xla"
+            assert policy.resolve_stem("auto", 32, 32) == "xla"
+        assert policy.resolve_stem("pallas", 32, 32) == "pallas"
 
 
 class TestRegenDropout:
