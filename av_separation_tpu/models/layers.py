@@ -139,12 +139,35 @@ class TorchBatchNorm(nn.Module):
 # factored into separate q/k/v Dense for clean TP sharding)
 # ---------------------------------------------------------------------------
 
+class _DenseParams(nn.Module):
+    """Raw kernel+bias holder with nn.Dense's exact parameter tree
+    (names, shapes, initializers) — lets MultiHeadAttention fuse the
+    q/k/v projections at trace time without changing the checkpoint
+    layout or the TP PartitionSpecs (mesh.py matches by name)."""
+
+    fan_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_kernel_init,
+                            (self.fan_in, self.features))
+        bias = self.param("bias", torch_bias_init(self.fan_in),
+                          (self.features,))
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Projected MHA; `q_in` supplies queries, `kv_in` keys and values.
 
-    The q/k/v/out projections are separate Dense layers so each can carry its
-    own PartitionSpec (heads sharded over the 'model' mesh axis).  Reference
-    torch in_proj weights transplant by slicing rows (see tests/transplant.py).
+    The q/k/v/out projections keep separate PARAMETERS so each carries its
+    own PartitionSpec (heads sharded over the 'model' mesh axis) and
+    reference torch in_proj weights transplant by slicing rows (see
+    tests/transplant.py) — but for SELF-attention (q_in is kv_in) the
+    three projections run as ONE (d, 3d) matmul on a trace-time weight
+    concat: per-output-column math is identical, and the step drops two
+    small-matmul dispatches per attention block (the demo config is
+    op-count-bound — bench_results/profile_demo_auto.jsonl).
     `dtype` is the computation dtype (params stay float32); softmax
     statistics accumulate in f32 inside the attention op regardless.
     """
@@ -158,9 +181,25 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, q_in, kv_in, *, deterministic: bool = True):
         d = self.d_model
-        q = dense(d, d, "q_proj", self.dtype)(q_in)
-        k = dense(d, d, "k_proj", self.dtype)(kv_in)
-        v = dense(d, d, "v_proj", self.dtype)(kv_in)
+        wq, bq = _DenseParams(d, d, name="q_proj")()
+        wk, bk = _DenseParams(d, d, name="k_proj")()
+        wv, bv = _DenseParams(d, d, name="v_proj")()
+        cdt = q_in.dtype if self.dtype is None else jnp.dtype(self.dtype)
+
+        def proj(x, w, b):
+            return x.astype(cdt) @ w.astype(cdt) + b.astype(cdt)
+
+        if q_in is kv_in:
+            w = jnp.concatenate([wq, wk, wv], axis=1)
+            b = jnp.concatenate([bq, bk, bv])
+            qkv = proj(q_in, w, b)
+            q = qkv[..., :d]
+            k = qkv[..., d:2 * d]
+            v = qkv[..., 2 * d:]
+        else:
+            q = proj(q_in, wq, bq)
+            k = proj(kv_in, wk, bk)
+            v = proj(kv_in, wv, bv)
         rate = 0.0 if deterministic else self.dropout
         rng = self.make_rng("dropout") if rate > 0.0 else None
         out = multi_head_attention(q, k, v, self.nhead, impl=self.impl,
