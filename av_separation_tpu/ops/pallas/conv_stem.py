@@ -1,52 +1,56 @@
 """Fused visual conv stem: stride-2 3x3 convs + train-mode BatchNorm + ReLU
-as Pallas TPU kernels with a custom VJP.
+as Pallas TPU kernels with a custom VJP (v2: strictly-2D flat-plane layout).
 
 Replaces the XLA lowering of the reference's per-frame backbone (reference
 model.py:81-92: three stride-2 Conv2d(3x3) -> BatchNorm2d -> ReLU stages,
-1->32->64->128 channels) for TRAINING.  Measured motivation (r3/r4 profile
-artifacts, v5e):
+1->32->64->128 channels) for TRAINING.  Measured motivation (r4 profile
+artifacts, v5e): the XLA stem is 37% of the demo step and 36% of the lrs2
+step (bench_results/profile_{demo,lrs2}_auto.jsonl) — not conv FLOPs but
+memory passes (conv / BN-stats / BN-apply as separate HBM round trips,
+plus the stride-2 transposed-conv backward).
 
-  - lrs2 (96x96 frames): the XLA stem is 9.8 ms of a 27.3 ms step (36%) —
-    bench_results/profile_lrs2_auto.jsonl.
-  - demo (32x32 frames): 2.17 ms of a 5.83 ms step (37%) —
-    bench_results/profile_demo_auto.jsonl.
+v1 LESSONS (kept because they are measured Mosaic behavior, r4):
+  - in-kernel even/odd parity restructuring (pad + 6D reshape + slice)
+    COMPILES but executes as per-program sublane-shuffle chains — 12x/26x
+    slower than the XLA stem end-to-end;
+  - a lane-axis concat of shifted planes fails to compile ("offset
+    mismatch on non-concat dimension");
+  - jnp.roll on a 2D block costs ~45 us per application at demo scale;
+  - compile memory explodes with the per-program block (fb cap, 96 MB
+    scoped-VMEM, ~11 min compiles at 48x48).
 
-  The cost is NOT conv FLOPs (conv2/3 reach only 10-20%% MFU, conv1 0.6%%)
-  but memory passes: XLA runs conv / BN-stats / BN-apply+ReLU as separate
-  HBM round trips per layer, and the stride-2 transposed-conv backward adds
-  more.  This module fuses per layer: the conv kernel applies the PREVIOUS
-  layer's BN+ReLU to its input tile in VMEM (prologue), computes the conv
-  as one implicit-im2col matmul on the MXU, and emits the raw conv output
-  plus the per-channel batch statistics the BN needs — so the normalized
-  activation never materializes in HBM and the stats passes disappear.
+v2 DESIGN (this file): do the parity split ON THE XLA SIDE and keep every
+kernel value strictly 2D.
+  - Layer input planes P[a][b]: flat (F*S, Cin), S = (Ho+2)*(Wo+2), one
+    row per (frame, p, q) with a 1-row/col halo on each side of the
+    output grid.  XLA builds them in one fused gather pass per layer.
+  - The conv output lives in the SAME flat halo layout (garbage rows at
+    p >= Ho or q >= Wo), so every stride-2 tap becomes a PURE ROW OFFSET:
+    output row j reads plane[a][b] row j + o*(Wo+2) + u.  In-kernel that
+    is a static REF slice feeding an accumulating MXU matmul — no
+    reshape, pad, concat or roll ever touches a kernel value.  Tap reads
+    that would cross the block end only feed garbage output rows (each
+    frame ends with >= 2*(Wo+2) garbage rows > the max offset), so the
+    accumulation simply stops short: acc[0:R-off] += dot(plane[off:R]).
+  - Batch statistics are accumulated in-kernel under a validity mask
+    (an (F*S, 1) row-mask input); BN normalize folds into per-channel
+    scale'/bias' applied as the NEXT kernel's prologue, so normalized
+    activations never materialize in HBM.
+  - Backward: wgrad accumulates dW per tap from the same ref slices;
+    dgrad scatter-adds g @ w_tap^T into four plane-gradient scratches at
+    the tap offsets, applies the recomputed ReLU mask per plane, and
+    emits per-channel (sum h, sum h*x_hat) so XLA can finish the
+    train-BN backward elementwise.
 
-Key layout trick: a stride-2 3x3 'SAME' conv becomes NINE stride-1 tap
-reads after an even/odd space-to-depth split, done ON VALUES in VMEM
-(zero-pad + reshape + STATIC slice — no strided memory access, which
-Mosaic lacks): after a 1-pixel pad, padded input row 2p+dy is plane
-a=dy%%2 at block row p + dy//2.  Each tap is an (F*Ho*Wo, Cin) matrix fed
-to one of nine accumulating f32 MXU matmuls (a single lane-axis concat
-into a K=9*Cin matrix is rejected by Mosaic with an offset-mismatch
-error, and roll+mask shifts compile pathologically slowly).
+conv1 (C_in=1) stays on XLA: its degenerate channel depth defeats the MXU
+regardless of layout; its weight gradient comes from jax.vjp of the same
+XLA conv.
 
-Backward (the bulk of the XLA cost) has two kernels per layer:
-  - wgrad: patches(prologue-recomputed input)^T @ g, accumulated in a
-    (9*Cin, Cout) f32 VMEM scratch across the sequential frame grid.
-  - dgrad: g @ w^T -> d(patches), scatter-added back into the input-shaped
-    gradient by inverting the nine tap shifts, then multiplied by the
-    recomputed ReLU mask in the epilogue, emitting h = d(BN output) plus
-    the two per-channel reductions (sum h, sum h*x_hat) that the train-BN
-    backward needs — XLA then finishes the (elementwise) BN backward.
-
-conv1 (C_in=1) stays on XLA: its degenerate channel depth defeats both the
-MXU and healthy VMEM layouts, and it is a small share of the cost; its
-weight gradient comes from jax.vjp of the same XLA conv.
-
-Semantics match the XLA path exactly in f32 (gated in tests/test_kernels.py
-interpret mode) and to bf16 tolerance on chip (tools/verify_kernels_tpu.py):
-conv accumulates f32 and rounds to the compute dtype; BN statistics are
-computed from the ROUNDED conv output in f32 (what the XLA path's separate
-BN layer sees); BN normalize runs in f32 and casts before ReLU.
+Numerics match the XLA path exactly in f32 (tests/test_kernels.py
+interpret gate) and to the XLA path's own bf16 rounding on chip
+(tools/verify_kernels_tpu.py): conv accumulates f32 and rounds to the
+compute dtype; BN statistics are computed from the ROUNDED conv output;
+normalize runs in f32 and casts before ReLU.
 """
 
 from __future__ import annotations
@@ -55,37 +59,31 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# (plane parity a, block offset o) per kernel tap offset d in {0, 1, 2}
-# AFTER 1-pixel zero padding: padded input row rp = 2p + d = 2*(p + o) + a.
+# (plane parity a, block offset o) per kernel tap offset d in {0, 1, 2}:
+# padded input row rp = 2p + d = 2*(p + o) + a.
 _TAP = {0: (0, 0), 1: (1, 0), 2: (0, 1)}
 
-# Raised scoped-VMEM limit for these kernels: the unrolled parity-split /
-# tap-slice chain makes Mosaic's stack allocator hold many live relayout
-# copies (measured 74 MB at fb=6 on the 48x48x32 layer vs the 16 MB
-# default), and v5e has 128 MB of physical VMEM — so give the kernels
-# most of it rather than shrinking fb to 1 (more, smaller programs would
-# pay the pipeline bubble instead).
-_VMEM_LIMIT = 96 * 1024 * 1024
+
+def _taps():
+    """[(tap_index k, plane (a, b), flat row offset factory)]"""
+    out = []
+    for dy in (0, 1, 2):
+        a, o = _TAP[dy]
+        for dx in (0, 1, 2):
+            b, u = _TAP[dx]
+            out.append((dy * 3 + dx, (a, b), o, u))
+    return out
 
 
-def _pick_fb(f: int, ho: int, wo: int, in_elems_per_frame: int = 0,
-             max_rows: int = 4096, max_fb: int = 8) -> int:
-    """Largest divisor of `f` keeping the im2col row count <= max_rows,
-    fb <= max_fb, AND the input block under ~250k elements.  The caps are
-    MOSAIC COMPILE-TIME constraints, not perf choices: the parity-split
-    relayouts unroll per leading-dim element (compile time explodes
-    superlinearly in fb — fb=48 OOM-killed the compile helper), and the
-    unrolled live set also scales with the block (the 48x48x32 layer at
-    fb=6 needs 74 MB of kernel VMEM stack and ~11 min of compile; its
-    wgrad at fb=6 OOM-killed the compiler outright).  Grid steps on a TPU
-    core are pipelined loop iterations, not dispatches, so many small
-    programs are cheap."""
-    cap = max(1, min(max_rows // (ho * wo), max_fb))
-    if in_elems_per_frame:
-        cap = max(1, min(cap, 250_000 // in_elems_per_frame))
+def _pick_fb(f: int, s: int, c: int, budget_elems: int = 400_000) -> int:
+    """Frames per program: largest divisor of f with fb*S*C under a VMEM
+    budget.  v2 kernels have no relayouts, so this is a plain working-set
+    bound, not a compile-time constraint."""
+    cap = max(1, budget_elems // (s * c))
     best = 1
     for d in range(1, min(f, cap) + 1):
         if f % d == 0:
@@ -93,82 +91,133 @@ def _pick_fb(f: int, ho: int, wo: int, in_elems_per_frame: int = 0,
     return best
 
 
-def _tap_mats(x: jnp.ndarray, fb: int, hp: int, wp: int, cin: int):
-    """(Fb, H, W, Cin) -> nine (Fb*Hp*Wp, Cin) implicit-im2col tap
-    matrices, tap-major (dy, dx) to match w.reshape(9*Cin, Cout) rows.
+# ---------------------------------------------------------------------------
+# XLA-side layout helpers (each a single fused gather pass)
+# ---------------------------------------------------------------------------
 
-    Everything is zero-pad + reshape + STATIC slice: after a 1-pixel pad
-    the stride-2 taps become even/odd plane selections at block offsets
-    {0, 1}.  (Two rejected formulations, both real Mosaic failures: a
-    9-way lane-axis concat of the taps dies with an offset-mismatch
-    error, and roll+iota-mask shifts compile pathologically slowly.)
-
-    The conv then runs as nine accumulating K=Cin matmuls rather than one
-    K=9*Cin matmul, keeping every operand in its natural layout."""
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    v = xp.reshape(fb, hp + 1, 2, wp + 1, 2, cin)
-    out = []
-    for dy in (0, 1, 2):
-        a, o = _TAP[dy]
-        for dx in (0, 1, 2):
-            b, u = _TAP[dx]
-            t = v[:, o:o + hp, a, u:u + wp, b, :]
-            out.append(t.reshape(fb * hp * wp, cin))
-    return out
+def _split_planes(y: jnp.ndarray):
+    """(F, H, W, C) -> {(a, b): (F*S, C)} flat halo planes of the 1-padded
+    input, S = (H/2+2)*(W/2+2)."""
+    f, h, w, c = y.shape
+    hp, wp = h // 2, w // 2
+    ypad = jnp.pad(y, ((0, 0), (1, 3), (1, 3), (0, 0)))
+    v = ypad.reshape(f, hp + 2, 2, wp + 2, 2, c)
+    return {(a, b): v[:, :, a, :, b, :].reshape(f * (hp + 2) * (wp + 2), c)
+            for a in (0, 1) for b in (0, 1)}
 
 
-def _affine_relu(x: jnp.ndarray, scale, bias) -> jnp.ndarray:
-    """Recompute the previous layer's BN+ReLU on a raw conv tile: f32
-    normalize (folded into per-channel scale/bias), cast to the compute
-    dtype, then ReLU — the exact order the XLA path applies."""
-    pre = (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
-    return jnp.maximum(pre, jnp.zeros_like(pre))
+def _from_planes(planes: dict, f: int, h: int, w: int) -> jnp.ndarray:
+    """Inverse of _split_planes (drops the padding): {(a,b): (F*S, C)} ->
+    (F, H, W, C).  Pixel r sits in plane parity (r+1)%2 at index (r+1)//2."""
+    hp, wp = h // 2, w // 2
+    c = next(iter(planes.values())).shape[-1]
+    cropped = {}
+    for (a, b), t in planes.items():
+        t = t.reshape(f, hp + 2, wp + 2, c)
+        rs = slice(1, hp + 1) if a == 0 else slice(0, hp)
+        cs = slice(1, wp + 1) if b == 0 else slice(0, wp)
+        cropped[(a, b)] = t[:, rs, cs, :]
+    ev = jnp.stack([cropped[(1, 1)], cropped[(1, 0)]], axis=3)
+    od = jnp.stack([cropped[(0, 1)], cropped[(0, 0)]], axis=3)
+    x = jnp.stack([ev, od], axis=2)  # (F, hp, 2, wp, 2, C)
+    return x.reshape(f, h, w, c)
+
+
+def _halo_shape(h_out: int, w_out: int):
+    return (h_out + 2) * (w_out + 2)
+
+
+def _out_mask(f: int, ho: int, wo: int) -> jnp.ndarray:
+    """(F*S, 1) f32: 1 on valid output rows (p < Ho and q < Wo)."""
+    m = np.zeros((ho + 2, wo + 2), np.float32)
+    m[:ho, :wo] = 1.0
+    return jnp.asarray(np.tile(m.reshape(-1, 1), (f, 1)))
+
+
+def _plane_mask(f: int, ho: int, wo: int, a: int, b: int) -> jnp.ndarray:
+    """(F*S, 1) f32: 1 where plane (a, b) holds a REAL input pixel
+    (plane index i maps to pixel row 2i+a-1; valid i in [1-a, Ho-a+...]):
+    a=0 -> rows [1, Ho], a=1 -> rows [0, Ho-1] (cols likewise)."""
+    m = np.zeros((ho + 2, wo + 2), np.float32)
+    rs = slice(1, ho + 1) if a == 0 else slice(0, ho)
+    cs = slice(1, wo + 1) if b == 0 else slice(0, wo)
+    m[rs, cs] = 1.0
+    return jnp.asarray(np.tile(m.reshape(-1, 1), (f, 1)))
+
+
+def _to_halo(g: jnp.ndarray) -> jnp.ndarray:
+    """(F, Ho, Wo, C) -> (F*S, C) flat halo layout with ZERO garbage rows
+    (the wgrad/dgrad contractions rely on the zeros)."""
+    f, ho, wo, c = g.shape
+    gp = jnp.pad(g, ((0, 0), (0, 2), (0, 2), (0, 0)))
+    return gp.reshape(f * (ho + 2) * (wo + 2), c)
+
+
+def _from_halo(y: jnp.ndarray, f: int, ho: int, wo: int) -> jnp.ndarray:
+    """(F*S, C) flat halo -> (F, Ho, Wo, C) valid region."""
+    c = y.shape[-1]
+    return y.reshape(f, ho + 2, wo + 2, c)[:, :ho, :wo, :]
 
 
 # ---------------------------------------------------------------------------
-# Forward: conv (+ input affine+ReLU prologue) + batch-stat emission
+# Kernels: all values strictly 2D; taps are static ref slices
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(w_ref, cb_ref, sc_ref, bi_ref, x_ref, y_ref, st_ref,
-                acc, *, fb: int, hp: int, wp: int, cin: int, cout: int,
-                prologue: bool):
-    f = pl.program_id(0)
+def _fwd_kernel(w_ref, cb_ref, sc_ref, bi_ref, m_ref,
+                pm00, pm01, pm10, pm11,
+                p00, p01, p10, p11, y_ref, st_ref, acc_y, acc_st, *,
+                r: int, wo: int, cin: int, prologue: bool):
+    i = pl.program_id(0)
 
-    @pl.when(f == 0)
+    @pl.when(i == 0)
     def _():
-        acc[:] = jnp.zeros_like(acc)
+        acc_st[:] = jnp.zeros_like(acc_st)
 
-    x = x_ref[...]
-    if prologue:
-        x = _affine_relu(x, sc_ref[...], bi_ref[...])
-    y = cb_ref[...] * jnp.ones((fb * hp * wp, 1), jnp.float32)
-    for k, t in enumerate(_tap_mats(x, fb, hp, wp, cin)):
-        y = y + jax.lax.dot_general(
+    acc_y[...] = jnp.broadcast_to(cb_ref[...], acc_y.shape)
+    planes = {(0, 0): p00, (0, 1): p01, (1, 0): p10, (1, 1): p11}
+    pmasks = {(0, 0): pm00, (0, 1): pm01, (1, 0): pm10, (1, 1): pm11}
+    for k, ab, o, u in _taps():
+        off = o * (wo + 2) + u
+        t = planes[ab][off:r, :]
+        if prologue:
+            # The plane tensors carry the conv's 'SAME' zero padding as
+            # raw zeros; the affine prologue would turn them into
+            # relu(bias) — the plane-validity mask restores true zeros.
+            tf = (t.astype(jnp.float32) * sc_ref[...] + bi_ref[...])
+            tf = tf * pmasks[ab][off:r, :]
+            t = jnp.maximum(tf.astype(t.dtype), 0)
+        acc_y[0:r - off, :] += jax.lax.dot_general(
             t, w_ref[k * cin:(k + 1) * cin, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    yc = y.astype(y_ref.dtype)
-    # Stats from the ROUNDED output (what the downstream BN sees).
-    yf = yc.astype(jnp.float32)
-    acc[0:1, :] += jnp.sum(yf, axis=0, keepdims=True)
-    acc[1:2, :] += jnp.sum(yf * yf, axis=0, keepdims=True)
-    y_ref[...] = yc.reshape(fb, hp, wp, cout)
+    yc = acc_y[...].astype(y_ref.dtype)
+    yf = yc.astype(jnp.float32) * m_ref[...]  # stats on ROUNDED, masked
+    acc_st[0:1, :] += jnp.sum(yf, axis=0, keepdims=True)
+    acc_st[1:2, :] += jnp.sum(yf * yf, axis=0, keepdims=True)
+    y_ref[...] = yc
 
-    @pl.when(f == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        st_ref[...] = acc[...]
+        st_ref[...] = acc_st[...]
 
 
-def _conv_fwd(x, w9, cb, sc, bi, *, prologue: bool):
-    """x (F, H, W, Cin) -> (y (F, Hp, Wp, Cout), stats (2, Cout) f32
-    [sum, sumsq]).  sc/bi: previous layer's folded BN scale/bias (1, Cin)
-    f32 (ignored when prologue=False)."""
-    f, h, w_, cin = x.shape
+def _conv_fwd(planes, w9, cb, sc, bi, mask, plane_masks, *, f, ho, wo,
+              prologue):
+    """planes {(a,b): (F*S, Cin)} -> (y_halo (F*S, Cout), stats (2, Cout)
+    f32 [sum, sumsq] over VALID rows).  plane_masks zero the 'SAME'
+    padding after the affine prologue."""
+    s = _halo_shape(ho, wo)
+    cin = w9.shape[0] // 9
     cout = w9.shape[1]
-    hp, wp = h // 2, w_ // 2
-    fb = _pick_fb(f, hp, wp, h * w_ * cin)
-    kernel = functools.partial(_fwd_kernel, fb=fb, hp=hp, wp=wp, cin=cin,
-                               cout=cout, prologue=prologue)
-    return pl.pallas_call(
+    fb = _pick_fb(f, s, max(cin, cout))
+    r = fb * s
+    kernel = functools.partial(_fwd_kernel, r=r, wo=wo, cin=cin,
+                               prologue=prologue)
+    plane_spec = pl.BlockSpec((r, cin), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((r, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    pm = {ab: plane_masks[ab] for ab in planes}
+    y, st = pl.pallas_call(
         kernel,
         grid=(f // fb,),
         in_specs=[
@@ -176,69 +225,81 @@ def _conv_fwd(x, w9, cb, sc, bi, *, prologue: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # conv bias (1, Cout)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scale (1, Cin)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (1, Cin)
-            pl.BlockSpec((fb, h, w_, cin), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            mask_spec,                               # out-valid mask
+            mask_spec, mask_spec, mask_spec, mask_spec,
+            plane_spec, plane_spec, plane_spec, plane_spec,
         ],
         out_specs=[
-            pl.BlockSpec((fb, hp, wp, cout), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((r, cout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((f, hp, wp, cout), x.dtype),
+            jax.ShapeDtypeStruct((f * s, cout),
+                                 next(iter(planes.values())).dtype),
             jax.ShapeDtypeStruct((2, cout), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((2, cout), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((r, cout), jnp.float32),
+                        pltpu.VMEM((2, cout), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT),
-    )(w9, cb, sc, bi, x)
+            dimension_semantics=("arbitrary",)),
+    )(w9, cb, sc, bi, mask,
+      pm[(0, 0)], pm[(0, 1)], pm[(1, 0)], pm[(1, 1)],
+      planes[(0, 0)], planes[(0, 1)], planes[(1, 0)], planes[(1, 1)])
+    return y, st
 
 
-# ---------------------------------------------------------------------------
-# Backward: weight gradient
-# ---------------------------------------------------------------------------
+def _wgrad_kernel(sc_ref, bi_ref, pm00, pm01, pm10, pm11,
+                  p00, p01, p10, p11, g_ref, dw_ref, acc,
+                  *, r: int, wo: int, cin: int, prologue: bool):
+    i = pl.program_id(0)
 
-def _wgrad_kernel(sc_ref, bi_ref, x_ref, g_ref, dw_ref, acc, *, fb: int,
-                  hp: int, wp: int, cin: int, prologue: bool):
-    f = pl.program_id(0)
-
-    @pl.when(f == 0)
+    @pl.when(i == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    x = x_ref[...]
-    if prologue:
-        x = _affine_relu(x, sc_ref[...], bi_ref[...])
-    g = g_ref[...].reshape(fb * hp * wp, -1)
-    for k, t in enumerate(_tap_mats(x, fb, hp, wp, cin)):
+    planes = {(0, 0): p00, (0, 1): p01, (1, 0): p10, (1, 1): p11}
+    pmasks = {(0, 0): pm00, (0, 1): pm01, (1, 0): pm10, (1, 1): pm11}
+    for k, ab, o, u in _taps():
+        off = o * (wo + 2) + u
+        t = planes[ab][off:r, :]
+        if prologue:
+            tf = (t.astype(jnp.float32) * sc_ref[...] + bi_ref[...])
+            tf = tf * pmasks[ab][off:r, :]
+            t = jnp.maximum(tf.astype(t.dtype), 0)
+        g = g_ref[0:r - off, :]  # garbage rows of g are zero
         acc[k * cin:(k + 1) * cin, :] += jax.lax.dot_general(
             t, g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(f == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(0) - 1)
     def _():
         dw_ref[...] = acc[...]
 
 
-def _conv_wgrad(x, g, sc, bi, *, prologue: bool):
-    """dW (9*Cin, Cout) f32 = im2col(affine_relu(x))^T @ g."""
-    f, h, w_, cin = x.shape
-    cout = g.shape[-1]
-    hp, wp = h // 2, w_ // 2
-    fb = _pick_fb(f, hp, wp, h * w_ * cin)
-    kernel = functools.partial(_wgrad_kernel, fb=fb, hp=hp, wp=wp,
-                               cin=cin, prologue=prologue)
+def _conv_wgrad(planes, g_halo, sc, bi, plane_masks, *, f, ho, wo, cout,
+                prologue):
+    """dW (9*Cin, Cout) f32; g_halo must have zeroed garbage rows."""
+    s = _halo_shape(ho, wo)
+    cin = next(iter(planes.values())).shape[-1]
+    fb = _pick_fb(f, s, max(cin, cout))
+    r = fb * s
+    kernel = functools.partial(_wgrad_kernel, r=r, wo=wo, cin=cin,
+                               prologue=prologue)
+    plane_spec = pl.BlockSpec((r, cin), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((r, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(f // fb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, h, w_, cin), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, hp, wp, cout), lambda i: (i, 0, 0, 0),
+            mask_spec, mask_spec, mask_spec, mask_spec,
+            plane_spec, plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec((r, cout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((9 * cin, cout), lambda i: (0, 0),
@@ -246,138 +307,102 @@ def _conv_wgrad(x, g, sc, bi, *, prologue: bool):
         out_shape=jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32),
         scratch_shapes=[pltpu.VMEM((9 * cin, cout), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT),
-    )(sc, bi, x, g)
+            dimension_semantics=("arbitrary",)),
+    )(sc, bi,
+      plane_masks[(0, 0)], plane_masks[(0, 1)], plane_masks[(1, 0)],
+      plane_masks[(1, 1)],
+      planes[(0, 0)], planes[(0, 1)], planes[(1, 0)],
+      planes[(1, 1)], g_halo)
 
 
-# ---------------------------------------------------------------------------
-# Backward: data gradient (through the NEXT layer's conv) + ReLU mask +
-# BN-backward reductions for the PREVIOUS layer
-# ---------------------------------------------------------------------------
+def _dgrad_kernel(w_ref, sc_ref, bi_ref, mn_ref, iv_ref,
+                  m00, m01, m10, m11, p00, p01, p10, p11, g_ref,
+                  h00, h01, h10, h11, st_ref,
+                  a00, a01, a10, a11, acc_st, *,
+                  r: int, wo: int, cin: int):
+    i = pl.program_id(0)
 
-def _dgrad_kernel(w_ref, sc_ref, bi_ref, mn_ref, iv_ref, y_ref, g_ref,
-                  p00_ref, p01_ref, p10_ref, p11_ref, st_ref, acc, *,
-                  fb: int, hp: int, wp: int, cin: int):
-    f = pl.program_id(0)
-
-    @pl.when(f == 0)
+    @pl.when(i == 0)
     def _():
-        acc[:] = jnp.zeros_like(acc)
+        acc_st[:] = jnp.zeros_like(acc_st)
 
-    g = g_ref[...].reshape(fb * hp * wp, -1)
-    # Per tap: d(tap matrix) = g @ w_tap^T, zero-padded back to its
-    # position in the HALO plane (pure pad + add — no concat, no roll,
-    # no scatter; see _tap_mats for the rejected formulations) and
-    # accumulated into the four even/odd plane gradients.
-    planes = {}
-    for dy in (0, 1, 2):
-        a, o = _TAP[dy]
-        for dx in (0, 1, 2):
-            b, u = _TAP[dx]
-            k = dy * 3 + dx
-            c = jax.lax.dot_general(
-                g, w_ref[k * cin:(k + 1) * cin, :],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            c = c.reshape(fb, hp, wp, cin)
-            c = jnp.pad(c, ((0, 0), (o, 1 - o), (u, 1 - u), (0, 0)))
-            planes[(a, b)] = c if (a, b) not in planes \
-                else planes[(a, b)] + c
-    # Apply the previous layer's ReLU mask + a validity mask and emit each
-    # plane in HALO shape (hp+1, wp+1) — no cropped (offset-layout) values
-    # are reduced or written, which Mosaic rejects ("input layout must
-    # have zero offsets over dimensions that are being reduced"); the XLA
-    # glue (_interleave_planes) crops.  Plane (a, b) element i holds
-    # output row r = 2i + a - 1 (valid i: [1, hp] for a=0, [0, hp) for
-    # a=1); the matching y row has parity 1-a at block index i - (1 - a),
-    # built here by zero-padding the y parity slice into halo shape.
-    yv = y_ref[...].reshape(fb, hp, 2, wp, 2, cin)
-    outs = {(0, 0): p00_ref, (0, 1): p01_ref, (1, 0): p10_ref,
-            (1, 1): p11_ref}
-    for (a, b), plane in planes.items():
-        ym = yv[:, :, 1 - a, :, 1 - b, :].astype(jnp.float32)
-        ym = jnp.pad(ym, ((0, 0), (1 - a, a), (1 - b, b), (0, 0)))
-        row = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 2)
-        valid = ((row >= 1 - a) & (row < hp + 1 - a)
-                 & (col >= 1 - b) & (col < wp + 1 - b))
-        # Compare in f32 on the compute-dtype-ROUNDED value (bf16 vector
-        # compares are unsupported on this target; the round-trip keeps
-        # the mask identical to the XLA path's relu'(bf16 activation)).
-        pre = (ym * sc_ref[...] + bi_ref[...]).astype(y_ref.dtype) \
-            .astype(jnp.float32)
-        hh = jnp.where(valid & (pre > 0), plane, 0.0)
-        xhat = (ym - mn_ref[...]) * iv_ref[...]
-        acc[0:1, :] += jnp.sum(hh, axis=(0, 1, 2)).reshape(1, -1)
-        acc[1:2, :] += jnp.sum(hh * xhat, axis=(0, 1, 2)).reshape(1, -1)
-        outs[(a, b)][...] = hh.astype(p00_ref.dtype)
+    scr = {(0, 0): a00, (0, 1): a01, (1, 0): a10, (1, 1): a11}
+    for ab in scr:
+        scr[ab][...] = jnp.zeros_like(scr[ab])
+    for k, ab, o, u in _taps():
+        off = o * (wo + 2) + u
+        g = g_ref[0:r - off, :]  # garbage rows of g are zero
+        c = jax.lax.dot_general(
+            g, w_ref[k * cin:(k + 1) * cin, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scr[ab][off:r, :] += c
+    planes = {(0, 0): p00, (0, 1): p01, (1, 0): p10, (1, 1): p11}
+    masks = {(0, 0): m00, (0, 1): m01, (1, 0): m10, (1, 1): m11}
+    outs = {(0, 0): h00, (0, 1): h01, (1, 0): h10, (1, 1): h11}
+    for ab in scr:
+        yf = planes[ab][...].astype(jnp.float32)
+        pre = (yf * sc_ref[...] + bi_ref[...]) \
+            .astype(planes[ab].dtype).astype(jnp.float32)
+        keep = (pre > 0).astype(jnp.float32) * masks[ab][...]
+        hh = scr[ab][...] * keep
+        xhat = (yf - mn_ref[...]) * iv_ref[...]
+        acc_st[0:1, :] += jnp.sum(hh, axis=0, keepdims=True)
+        acc_st[1:2, :] += jnp.sum(hh * xhat, axis=0, keepdims=True)
+        outs[ab][...] = hh.astype(h00.dtype)
 
-    @pl.when(f == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        st_ref[...] = acc[...]
+        st_ref[...] = acc_st[...]
 
 
-def _conv_dgrad(g, w9, y_prev, sc, bi, mn, iv):
-    """Backprop g (F, Hp, Wp, Cout) through the conv into its input, fused
-    with the previous layer's ReLU mask and BN-backward reductions.
-
-    Returns (h_planes {(a, b): (F, hp, wp, Cin)} = d(BN output) in plane
-    coordinates — interleave with `_interleave_planes` — and sums
-    (2, Cin) f32 [sum h, sum h*x_hat])."""
-    f, h, w_, cin = y_prev.shape
-    hp, wp = h // 2, w_ // 2
-    fb = _pick_fb(f, hp, wp, h * w_ * cin)
-    cout = g.shape[-1]
-    kernel = functools.partial(_dgrad_kernel, fb=fb, hp=hp, wp=wp, cin=cin)
-    plane_spec = pl.BlockSpec((fb, hp + 1, wp + 1, cin),
-                              lambda i: (i, 0, 0, 0),
+def _conv_dgrad(g_halo, w9, planes, plane_masks, sc, bi, mn, iv, *,
+                f, ho, wo):
+    """Backprop g (halo layout, zeroed garbage) through the conv into its
+    input PLANES, fused with the previous layer's ReLU mask and the
+    train-BN backward reductions.  Returns ({(a,b): h plane (F*S, Cin)},
+    sums (2, Cin) f32 [sum h, sum h*x_hat])."""
+    s = _halo_shape(ho, wo)
+    cin = next(iter(planes.values())).shape[-1]
+    cout = w9.shape[1]
+    fb = _pick_fb(f, s, max(cin, cout))
+    r = fb * s
+    kernel = functools.partial(_dgrad_kernel, r=r, wo=wo, cin=cin)
+    plane_spec = pl.BlockSpec((r, cin), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
-    plane_shape = jax.ShapeDtypeStruct((f, hp + 1, wp + 1, cin), g.dtype)
-    p00, p01, p10, p11, st = pl.pallas_call(
+    mask_spec = pl.BlockSpec((r, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    pdt = next(iter(planes.values())).dtype
+    outs = pl.pallas_call(
         kernel,
         grid=(f // fb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # w (9Cin, Cout)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scale (1, Cin)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (1, Cin)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mean (1, Cin)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # inv (1, Cin)
-            pl.BlockSpec((fb, h, w_, cin), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, hp, wp, cout), lambda i: (i, 0, 0, 0),
+            mask_spec, mask_spec, mask_spec, mask_spec,
+            plane_spec, plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec((r, cout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[plane_spec] * 4 + [
             pl.BlockSpec((2, cin), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)],
-        out_shape=[plane_shape] * 4 + [
+        out_shape=[jax.ShapeDtypeStruct((f * s, cin), pdt)] * 4 + [
             jax.ShapeDtypeStruct((2, cin), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((2, cin), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((r, cin), jnp.float32)] * 4 + [
+            pltpu.VMEM((2, cin), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT),
-    )(w9, sc, bi, mn, iv, y_prev, g)
-    return {(0, 0): p00, (0, 1): p01, (1, 0): p10, (1, 1): p11}, st
-
-
-def _interleave_planes(planes: dict) -> jnp.ndarray:
-    """{(a, b): (F, hp+1, wp+1, C)} HALO plane tensors -> (F, H, W, C).
-
-    Plane (a, b) element i holds output row r = 2i + a - 1, so the valid
-    crop is rows [1:] for a=0 and [:-1] for a=1 (cols likewise with b);
-    after cropping, even rows come from a=1 planes and odd from a=0.
-    Runs in XLA, fused into the adjacent elementwise BN-backward pass."""
-    c = {}
-    for (a, b), t in planes.items():
-        rs = slice(1, None) if a == 0 else slice(0, -1)
-        cs = slice(1, None) if b == 0 else slice(0, -1)
-        c[(a, b)] = t[:, rs, cs, :]
-    ev = jnp.stack([c[(1, 1)], c[(1, 0)]], axis=3)
-    od = jnp.stack([c[(0, 1)], c[(0, 0)]], axis=3)
-    x = jnp.stack([ev, od], axis=2)  # (F, hp, 2, wp, 2, C)
-    f, hp, _, wp, _, ch = x.shape
-    return x.reshape(f, hp * 2, wp * 2, ch)
+            dimension_semantics=("arbitrary",)),
+    )(w9, sc, bi, mn, iv,
+      plane_masks[(0, 0)], plane_masks[(0, 1)], plane_masks[(1, 0)],
+      plane_masks[(1, 1)],
+      planes[(0, 0)], planes[(0, 1)], planes[(1, 0)], planes[(1, 1)],
+      g_halo)
+    h = {(0, 0): outs[0], (0, 1): outs[1], (1, 0): outs[2],
+         (1, 1): outs[3]}
+    return h, outs[4]
 
 
 # ---------------------------------------------------------------------------
@@ -385,7 +410,7 @@ def _interleave_planes(planes: dict) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _conv1_xla(x, w1, b1):
-    """conv1 (C_in=1) on XLA: degenerate channel depth defeats MXU/VMEM
+    """conv1 (C_in=1) on XLA: degenerate channel depth defeats MXU
     layouts in a hand kernel; XLA's emitter handles it adequately."""
     y = jax.lax.conv_general_dilated(
         x, w1.astype(x.dtype), window_strides=(2, 2),
@@ -395,8 +420,6 @@ def _conv1_xla(x, w1, b1):
 
 
 def _bn_scalars(s, ssq, m, gamma, beta, eps):
-    """Fold batch statistics into per-channel (scale', bias', mean, inv):
-    bn(x) = x * scale' + bias'."""
     mean = s / m
     var = ssq / m - mean * mean
     inv = jax.lax.rsqrt(var + eps)
@@ -411,26 +434,38 @@ def _row(v):
 
 def _stem_fwd_impl(x, w1, b1, ga1, be1, w2, b2, ga2, be2, w3, b3, ga3, be3,
                    eps):
-    f = x.shape[0]
+    f, hin, win, _ = x.shape
+    h1, w1dim = hin // 2, win // 2       # conv1 output spatial
+    h2, w2dim = h1 // 2, w1dim // 2      # conv2 output spatial
+    h3, w3dim = h2 // 2, w2dim // 2      # conv3 output spatial
+
     y1 = _conv1_xla(x, w1, b1)
     y1f = y1.astype(jnp.float32)
-    m1 = f * y1.shape[1] * y1.shape[2]
+    m1 = f * h1 * w1dim
     s1 = jnp.sum(y1f, axis=(0, 1, 2))
     sq1 = jnp.sum(y1f * y1f, axis=(0, 1, 2))
     bm1, bv1, iv1, sc1, bi1 = _bn_scalars(s1, sq1, m1, ga1, be1, eps)
 
     w2r = w2.reshape(-1, w2.shape[-1]).astype(x.dtype)
-    y2, st2 = _conv_fwd(y1, w2r, _row(b2), _row(sc1), _row(bi1),
-                        prologue=True)
-    m2 = f * y2.shape[1] * y2.shape[2]
+    planes1 = _split_planes(y1)
+    pmask1 = {ab: _plane_mask(f, h2, w2dim, *ab) for ab in planes1}
+    y2h, st2 = _conv_fwd(planes1, w2r, _row(b2), _row(sc1), _row(bi1),
+                         _out_mask(f, h2, w2dim), pmask1, f=f, ho=h2,
+                         wo=w2dim, prologue=True)
+    m2 = f * h2 * w2dim
     bm2, bv2, iv2, sc2, bi2 = _bn_scalars(st2[0], st2[1], m2, ga2, be2, eps)
 
     w3r = w3.reshape(-1, w3.shape[-1]).astype(x.dtype)
-    y3, st3 = _conv_fwd(y2, w3r, _row(b3), _row(sc2), _row(bi2),
-                        prologue=True)
-    m3 = f * y3.shape[1] * y3.shape[2]
+    y2 = _from_halo(y2h, f, h2, w2dim)
+    planes2 = _split_planes(y2)
+    pmask2 = {ab: _plane_mask(f, h3, w3dim, *ab) for ab in planes2}
+    y3h, st3 = _conv_fwd(planes2, w3r, _row(b3), _row(sc2), _row(bi2),
+                         _out_mask(f, h3, w3dim), pmask2, f=f, ho=h3,
+                         wo=w3dim, prologue=True)
+    m3 = f * h3 * w3dim
     bm3, bv3, iv3, sc3, bi3 = _bn_scalars(st3[0], st3[1], m3, ga3, be3, eps)
 
+    y3 = _from_halo(y3h, f, h3, w3dim)
     a3 = jnp.maximum((y3.astype(jnp.float32) * sc3 + bi3).astype(y3.dtype),
                      0)
     pooled = jnp.mean(a3, axis=(1, 2))
@@ -448,9 +483,9 @@ def fused_visual_stem(x, w1, b1, ga1, be1, w2, b2, ga2, be2, w3, b3, ga3,
 
     x (F, H, W, 1) compute-dtype frames -> (pooled (F, 128), batch stats
     (bm1, bv1, bm2, bv2, bm3, bv3) f32) — biased batch variance, as torch
-    BatchNorm2d normalizes with in training.  Weights are the flax layouts:
-    w_i (3, 3, Cin, Cout), conv biases (Cout,), BN gamma/beta (Cout,).
-    """
+    BatchNorm2d normalizes with in training.  Weights are the flax
+    layouts: w_i (3, 3, Cin, Cout), conv biases (Cout,), BN gamma/beta
+    (Cout,)."""
     pooled, stats, _ = _stem_fwd_impl(x, w1, b1, ga1, be1, w2, b2, ga2,
                                       be2, w3, b3, ga3, be3, eps)
     return pooled, stats
@@ -463,61 +498,63 @@ def _stem_fwd_rule(x, w1, b1, ga1, be1, w2, b2, ga2, be2, w3, b3, ga3, be3,
     return (pooled, stats), res
 
 
-def _bn_bwd_elem(h, y, mean, inv, gamma, m):
-    """Finish the train-BN backward elementwise given the fused reductions:
-    g = gamma*inv*(h - sum(h)/M - x_hat * sum(h*x_hat)/M).  Returns
-    (g, dgamma, dbeta); h is d(BN output) AFTER the ReLU mask."""
-    hf = h.astype(jnp.float32)
-    yf = y.astype(jnp.float32)
-    xhat = (yf - mean) * inv
-    s1 = jnp.sum(hf, axis=(0, 1, 2))
-    s2 = jnp.sum(hf * xhat, axis=(0, 1, 2))
-    g = (gamma * inv) * (hf - s1 / m - xhat * (s2 / m))
-    return g.astype(h.dtype), s2, s1
-
-
 def _stem_bwd_rule(eps, res, ct):
     (x, y1, y2, y3, w1, w2r, w3r, bn1, bn2, bn3, gammas) = res
     bm1, iv1, sc1, bi1 = bn1
     bm2, iv2, sc2, bi2 = bn2
     bm3, iv3, sc3, bi3 = bn3
     ga1, ga2, ga3 = gammas
-    g_pool = ct[0]  # stats outputs get zero cotangents (not differentiated)
+    g_pool = ct[0]  # stats outputs get zero cotangents
     f = x.shape[0]
-    h3_dim, w3_dim = y3.shape[1], y3.shape[2]
-    m3 = f * h3_dim * w3_dim
-    m2 = f * y2.shape[1] * y2.shape[2]
-    m1 = f * y1.shape[1] * y1.shape[2]
+    h1, w1dim = y1.shape[1], y1.shape[2]
+    h2, w2dim = y2.shape[1], y2.shape[2]
+    h3, w3dim = y3.shape[1], y3.shape[2]
+    m1 = f * h1 * w1dim
+    m2 = f * h2 * w2dim
+    m3 = f * h3 * w3dim
 
-    # Top: mean-pool backward + ReLU mask + BN3 backward (all elementwise
-    # or small reductions — XLA fuses this into a couple of passes).
+    # Top: mean-pool backward + ReLU mask + BN3 backward (elementwise).
     da3 = jnp.broadcast_to(
-        g_pool.astype(jnp.float32)[:, None, None, :] / (h3_dim * w3_dim),
+        g_pool.astype(jnp.float32)[:, None, None, :] / (h3 * w3dim),
         y3.shape)
     y3f = y3.astype(jnp.float32)
     pre3 = (y3f * sc3 + bi3).astype(y3.dtype)
-    h3 = jnp.where(pre3 > 0, da3, 0.0).astype(y3.dtype)
-    g3, dga3, dbe3 = _bn_bwd_elem(h3, y3, bm3, iv3, ga3, m3)
+    h3t = jnp.where(pre3 > 0, da3, 0.0)
+    s1_3 = jnp.sum(h3t, axis=(0, 1, 2))
+    xhat3 = (y3f - bm3) * iv3
+    s2_3 = jnp.sum(h3t * xhat3, axis=(0, 1, 2))
+    g3 = ((ga3 * iv3) * (h3t - s1_3 / m3 - xhat3 * (s2_3 / m3))) \
+        .astype(y3.dtype)
+    dga3, dbe3 = s2_3, s1_3
     db3 = jnp.sum(g3.astype(jnp.float32), axis=(0, 1, 2))
 
-    # Layer 3 conv backward (Pallas): weights + data (fused with ReLU mask
-    # and BN2-backward reductions).
-    dw3 = _conv_wgrad(y2, g3, _row(sc2), _row(bi2), prologue=True)
-    h2_planes, st2 = _conv_dgrad(g3, w3r, y2, _row(sc2), _row(bi2),
-                                 _row(bm2), _row(iv2))
-    h2 = _interleave_planes(h2_planes)
-    g2 = ((ga2 * iv2) * (h2.astype(jnp.float32) - st2[0] / m2
+    # Layer 3 conv backward (Pallas).
+    planes2 = _split_planes(y2)
+    masks2 = {ab: _plane_mask(f, h3, w3dim, *ab) for ab in planes2}
+    g3h = _to_halo(g3)
+    dw3 = _conv_wgrad(planes2, g3h, _row(sc2), _row(bi2), masks2, f=f,
+                      ho=h3, wo=w3dim, cout=g3.shape[-1], prologue=True)
+    h2_planes, st2 = _conv_dgrad(g3h, w3r, planes2, masks2, _row(sc2),
+                                 _row(bi2), _row(bm2), _row(iv2),
+                                 f=f, ho=h3, wo=w3dim)
+    hg2 = _from_planes(h2_planes, f, h2, w2dim)
+    g2 = ((ga2 * iv2) * (hg2.astype(jnp.float32) - st2[0] / m2
                          - (y2.astype(jnp.float32) - bm2) * iv2
                          * (st2[1] / m2))).astype(y2.dtype)
     dga2, dbe2 = st2[1], st2[0]
     db2 = jnp.sum(g2.astype(jnp.float32), axis=(0, 1, 2))
 
     # Layer 2 conv backward.
-    dw2 = _conv_wgrad(y1, g2, _row(sc1), _row(bi1), prologue=True)
-    h1_planes, st1 = _conv_dgrad(g2, w2r, y1, _row(sc1), _row(bi1),
-                                 _row(bm1), _row(iv1))
-    h1 = _interleave_planes(h1_planes)
-    g1 = ((ga1 * iv1) * (h1.astype(jnp.float32) - st1[0] / m1
+    planes1 = _split_planes(y1)
+    masks1 = {ab: _plane_mask(f, h2, w2dim, *ab) for ab in planes1}
+    g2h = _to_halo(g2)
+    dw2 = _conv_wgrad(planes1, g2h, _row(sc1), _row(bi1), masks1, f=f,
+                      ho=h2, wo=w2dim, cout=g2.shape[-1], prologue=True)
+    h1_planes, st1 = _conv_dgrad(g2h, w2r, planes1, masks1, _row(sc1),
+                                 _row(bi1), _row(bm1), _row(iv1),
+                                 f=f, ho=h2, wo=w2dim)
+    hg1 = _from_planes(h1_planes, f, h1, w1dim)
+    g1 = ((ga1 * iv1) * (hg1.astype(jnp.float32) - st1[0] / m1
                          - (y1.astype(jnp.float32) - bm1) * iv1
                          * (st1[1] / m1))).astype(y1.dtype)
     dga1, dbe1 = st1[1], st1[0]
