@@ -67,6 +67,12 @@ from jax.experimental.pallas import tpu as pltpu
 # padded input row rp = 2p + d = 2*(p + o) + a.
 _TAP = {0: (0, 0), 1: (1, 0), 2: (0, 1)}
 
+# Raised scoped-VMEM limit: Mosaic's stack allocator keeps several live
+# f32 copies of the (R, Cout) accumulator chain across the unrolled taps
+# (36.6 MB measured at R=5000/Cout=64 vs the 16 MB default); v5e has
+# 128 MB of physical VMEM.
+_VMEM_LIMIT = 96 * 1024 * 1024
+
 
 def _taps():
     """[(tap_index k, plane (a, b), flat row offset factory)]"""
@@ -96,27 +102,34 @@ def _pick_fb(f: int, s: int, c: int, budget_elems: int = 400_000) -> int:
 # ---------------------------------------------------------------------------
 
 def _split_planes(y: jnp.ndarray):
-    """(F, H, W, C) -> {(a, b): (F*S, C)} flat halo planes of the 1-padded
-    input, S = (H/2+2)*(W/2+2)."""
+    """(F, H, W, C) -> (4, F*S, C) stacked flat halo planes of the
+    1-padded input, S = (H/2+2)*(W/2+2); plane index = 2a + b.
+
+    ONE transpose produces all four planes contiguously — four separate
+    strided slices made XLA run four gather passes (measured 4.5 ms for a
+    52 MB input at demo scale; the transpose form is a single relayout).
+    """
     f, h, w, c = y.shape
     hp, wp = h // 2, w // 2
     ypad = jnp.pad(y, ((0, 0), (1, 3), (1, 3), (0, 0)))
     v = ypad.reshape(f, hp + 2, 2, wp + 2, 2, c)
-    return {(a, b): v[:, :, a, :, b, :].reshape(f * (hp + 2) * (wp + 2), c)
-            for a in (0, 1) for b in (0, 1)}
+    v = v.transpose(2, 4, 0, 1, 3, 5)  # (2, 2, F, hp+2, wp+2, C)
+    return v.reshape(4, f * (hp + 2) * (wp + 2), c)
 
 
-def _from_planes(planes: dict, f: int, h: int, w: int) -> jnp.ndarray:
-    """Inverse of _split_planes (drops the padding): {(a,b): (F*S, C)} ->
+def _from_planes(planes: jnp.ndarray, f: int, h: int,
+                 w: int) -> jnp.ndarray:
+    """Inverse of _split_planes (drops the padding): (4, F*S, C) ->
     (F, H, W, C).  Pixel r sits in plane parity (r+1)%2 at index (r+1)//2."""
     hp, wp = h // 2, w // 2
-    c = next(iter(planes.values())).shape[-1]
+    c = planes.shape[-1]
     cropped = {}
-    for (a, b), t in planes.items():
-        t = t.reshape(f, hp + 2, wp + 2, c)
-        rs = slice(1, hp + 1) if a == 0 else slice(0, hp)
-        cs = slice(1, wp + 1) if b == 0 else slice(0, wp)
-        cropped[(a, b)] = t[:, rs, cs, :]
+    for a in (0, 1):
+        for b in (0, 1):
+            t = planes[2 * a + b].reshape(f, hp + 2, wp + 2, c)
+            rs = slice(1, hp + 1) if a == 0 else slice(0, hp)
+            cs = slice(1, wp + 1) if b == 0 else slice(0, wp)
+            cropped[(a, b)] = t[:, rs, cs, :]
     ev = jnp.stack([cropped[(1, 1)], cropped[(1, 0)]], axis=3)
     od = jnp.stack([cropped[(0, 1)], cropped[(0, 0)]], axis=3)
     x = jnp.stack([ev, od], axis=2)  # (F, hp, 2, wp, 2, C)
@@ -127,22 +140,20 @@ def _halo_shape(h_out: int, w_out: int):
     return (h_out + 2) * (w_out + 2)
 
 
-def _out_mask(f: int, ho: int, wo: int) -> jnp.ndarray:
-    """(F*S, 1) f32: 1 on valid output rows (p < Ho and q < Wo)."""
-    m = np.zeros((ho + 2, wo + 2), np.float32)
-    m[:ho, :wo] = 1.0
-    return jnp.asarray(np.tile(m.reshape(-1, 1), (f, 1)))
-
-
-def _plane_mask(f: int, ho: int, wo: int, a: int, b: int) -> jnp.ndarray:
-    """(F*S, 1) f32: 1 where plane (a, b) holds a REAL input pixel
-    (plane index i maps to pixel row 2i+a-1; valid i in [1-a, Ho-a+...]):
-    a=0 -> rows [1, Ho], a=1 -> rows [0, Ho-1] (cols likewise)."""
-    m = np.zeros((ho + 2, wo + 2), np.float32)
-    rs = slice(1, ho + 1) if a == 0 else slice(0, ho)
-    cs = slice(1, wo + 1) if b == 0 else slice(0, wo)
-    m[rs, cs] = 1.0
-    return jnp.asarray(np.tile(m.reshape(-1, 1), (f, 1)))
+def _masks(f: int, ho: int, wo: int) -> jnp.ndarray:
+    """(F*S, 8) f32 mask bundle in ONE tensor (one DMA per program instead
+    of five): lane 0 = valid OUTPUT rows (p < Ho, q < Wo); lanes 1+2a+b =
+    plane (a, b) holds a REAL input pixel (plane index i maps to pixel row
+    2i+a-1: valid rows [1, Ho] for a=0, [0, Ho) for a=1; cols likewise);
+    lanes 5-7 zero padding."""
+    m = np.zeros((ho + 2, wo + 2, 8), np.float32)
+    m[:ho, :wo, 0] = 1.0
+    for a in (0, 1):
+        for b in (0, 1):
+            rs = slice(1, ho + 1) if a == 0 else slice(0, ho)
+            cs = slice(1, wo + 1) if b == 0 else slice(0, wo)
+            m[rs, cs, 1 + 2 * a + b] = 1.0
+    return jnp.asarray(np.tile(m.reshape(-1, 8), (f, 1)))
 
 
 def _to_halo(g: jnp.ndarray) -> jnp.ndarray:
@@ -163,10 +174,9 @@ def _from_halo(y: jnp.ndarray, f: int, ho: int, wo: int) -> jnp.ndarray:
 # Kernels: all values strictly 2D; taps are static ref slices
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(w_ref, cb_ref, sc_ref, bi_ref, m_ref,
-                pm00, pm01, pm10, pm11,
-                p00, p01, p10, p11, y_ref, st_ref, acc_y, acc_st, *,
-                r: int, wo: int, cin: int, prologue: bool):
+def _fwd_kernel(w_ref, cb_ref, sc_ref, bi_ref, m_ref, p_ref, y_ref,
+                st_ref, acc_y, acc_st, *, r: int, wo: int, cin: int,
+                prologue: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -174,23 +184,21 @@ def _fwd_kernel(w_ref, cb_ref, sc_ref, bi_ref, m_ref,
         acc_st[:] = jnp.zeros_like(acc_st)
 
     acc_y[...] = jnp.broadcast_to(cb_ref[...], acc_y.shape)
-    planes = {(0, 0): p00, (0, 1): p01, (1, 0): p10, (1, 1): p11}
-    pmasks = {(0, 0): pm00, (0, 1): pm01, (1, 0): pm10, (1, 1): pm11}
-    for k, ab, o, u in _taps():
+    for k, (a, b), o, u in _taps():
         off = o * (wo + 2) + u
-        t = planes[ab][off:r, :]
+        t = p_ref[2 * a + b, off:r, :]
         if prologue:
-            # The plane tensors carry the conv's 'SAME' zero padding as
+            # The plane tensor carries the conv's 'SAME' zero padding as
             # raw zeros; the affine prologue would turn them into
             # relu(bias) — the plane-validity mask restores true zeros.
             tf = (t.astype(jnp.float32) * sc_ref[...] + bi_ref[...])
-            tf = tf * pmasks[ab][off:r, :]
+            tf = tf * m_ref[off:r, 1 + 2 * a + b:2 + 2 * a + b]
             t = jnp.maximum(tf.astype(t.dtype), 0)
         acc_y[0:r - off, :] += jax.lax.dot_general(
             t, w_ref[k * cin:(k + 1) * cin, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     yc = acc_y[...].astype(y_ref.dtype)
-    yf = yc.astype(jnp.float32) * m_ref[...]  # stats on ROUNDED, masked
+    yf = yc.astype(jnp.float32) * m_ref[:, 0:1]  # stats: ROUNDED, masked
     acc_st[0:1, :] += jnp.sum(yf, axis=0, keepdims=True)
     acc_st[1:2, :] += jnp.sum(yf * yf, axis=0, keepdims=True)
     y_ref[...] = yc
@@ -200,11 +208,9 @@ def _fwd_kernel(w_ref, cb_ref, sc_ref, bi_ref, m_ref,
         st_ref[...] = acc_st[...]
 
 
-def _conv_fwd(planes, w9, cb, sc, bi, mask, plane_masks, *, f, ho, wo,
-              prologue):
-    """planes {(a,b): (F*S, Cin)} -> (y_halo (F*S, Cout), stats (2, Cout)
-    f32 [sum, sumsq] over VALID rows).  plane_masks zero the 'SAME'
-    padding after the affine prologue."""
+def _conv_fwd(planes, w9, cb, sc, bi, masks, *, f, ho, wo, prologue):
+    """planes (4, F*S, Cin) -> (y_halo (F*S, Cout), stats (2, Cout) f32
+    [sum, sumsq] over VALID rows).  masks: _masks(f, ho, wo)."""
     s = _halo_shape(ho, wo)
     cin = w9.shape[0] // 9
     cout = w9.shape[1]
@@ -212,11 +218,6 @@ def _conv_fwd(planes, w9, cb, sc, bi, mask, plane_masks, *, f, ho, wo,
     r = fb * s
     kernel = functools.partial(_fwd_kernel, r=r, wo=wo, cin=cin,
                                prologue=prologue)
-    plane_spec = pl.BlockSpec((r, cin), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((r, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    pm = {ab: plane_masks[ab] for ab in planes}
     y, st = pl.pallas_call(
         kernel,
         grid=(f // fb,),
@@ -225,9 +226,10 @@ def _conv_fwd(planes, w9, cb, sc, bi, mask, plane_masks, *, f, ho, wo,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # conv bias (1, Cout)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scale (1, Cin)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (1, Cin)
-            mask_spec,                               # out-valid mask
-            mask_spec, mask_spec, mask_spec, mask_spec,
-            plane_spec, plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec((r, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # mask bundle
+            pl.BlockSpec((4, r, cin), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),   # stacked planes
         ],
         out_specs=[
             pl.BlockSpec((r, cout), lambda i: (i, 0),
@@ -236,37 +238,32 @@ def _conv_fwd(planes, w9, cb, sc, bi, mask, plane_masks, *, f, ho, wo,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((f * s, cout),
-                                 next(iter(planes.values())).dtype),
+            jax.ShapeDtypeStruct((f * s, cout), planes.dtype),
             jax.ShapeDtypeStruct((2, cout), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((r, cout), jnp.float32),
                         pltpu.VMEM((2, cout), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(w9, cb, sc, bi, mask,
-      pm[(0, 0)], pm[(0, 1)], pm[(1, 0)], pm[(1, 1)],
-      planes[(0, 0)], planes[(0, 1)], planes[(1, 0)], planes[(1, 1)])
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(w9, cb, sc, bi, masks, planes)
     return y, st
 
 
-def _wgrad_kernel(sc_ref, bi_ref, pm00, pm01, pm10, pm11,
-                  p00, p01, p10, p11, g_ref, dw_ref, acc,
-                  *, r: int, wo: int, cin: int, prologue: bool):
+def _wgrad_kernel(sc_ref, bi_ref, m_ref, p_ref, g_ref, dw_ref, acc, *,
+                  r: int, wo: int, cin: int, prologue: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    planes = {(0, 0): p00, (0, 1): p01, (1, 0): p10, (1, 1): p11}
-    pmasks = {(0, 0): pm00, (0, 1): pm01, (1, 0): pm10, (1, 1): pm11}
-    for k, ab, o, u in _taps():
+    for k, (a, b), o, u in _taps():
         off = o * (wo + 2) + u
-        t = planes[ab][off:r, :]
+        t = p_ref[2 * a + b, off:r, :]
         if prologue:
             tf = (t.astype(jnp.float32) * sc_ref[...] + bi_ref[...])
-            tf = tf * pmasks[ab][off:r, :]
+            tf = tf * m_ref[off:r, 1 + 2 * a + b:2 + 2 * a + b]
             t = jnp.maximum(tf.astype(t.dtype), 0)
         g = g_ref[0:r - off, :]  # garbage rows of g are zero
         acc[k * cin:(k + 1) * cin, :] += jax.lax.dot_general(
@@ -278,27 +275,25 @@ def _wgrad_kernel(sc_ref, bi_ref, pm00, pm01, pm10, pm11,
         dw_ref[...] = acc[...]
 
 
-def _conv_wgrad(planes, g_halo, sc, bi, plane_masks, *, f, ho, wo, cout,
+def _conv_wgrad(planes, g_halo, sc, bi, masks, *, f, ho, wo, cout,
                 prologue):
     """dW (9*Cin, Cout) f32; g_halo must have zeroed garbage rows."""
     s = _halo_shape(ho, wo)
-    cin = next(iter(planes.values())).shape[-1]
+    cin = planes.shape[-1]
     fb = _pick_fb(f, s, max(cin, cout))
     r = fb * s
     kernel = functools.partial(_wgrad_kernel, r=r, wo=wo, cin=cin,
                                prologue=prologue)
-    plane_spec = pl.BlockSpec((r, cin), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((r, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(f // fb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            mask_spec, mask_spec, mask_spec, mask_spec,
-            plane_spec, plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec((r, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, r, cin), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((r, cout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -307,72 +302,57 @@ def _conv_wgrad(planes, g_halo, sc, bi, plane_masks, *, f, ho, wo, cout,
         out_shape=jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32),
         scratch_shapes=[pltpu.VMEM((9 * cin, cout), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(sc, bi,
-      plane_masks[(0, 0)], plane_masks[(0, 1)], plane_masks[(1, 0)],
-      plane_masks[(1, 1)],
-      planes[(0, 0)], planes[(0, 1)], planes[(1, 0)],
-      planes[(1, 1)], g_halo)
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(sc, bi, masks, planes, g_halo)
 
 
-def _dgrad_kernel(w_ref, sc_ref, bi_ref, mn_ref, iv_ref,
-                  m00, m01, m10, m11, p00, p01, p10, p11, g_ref,
-                  h00, h01, h10, h11, st_ref,
-                  a00, a01, a10, a11, acc_st, *,
-                  r: int, wo: int, cin: int):
+def _dgrad_kernel(w_ref, sc_ref, bi_ref, mn_ref, iv_ref, m_ref, p_ref,
+                  g_ref, h_ref, st_ref, acc_h, acc_st, *, r: int, wo: int,
+                  cin: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         acc_st[:] = jnp.zeros_like(acc_st)
 
-    scr = {(0, 0): a00, (0, 1): a01, (1, 0): a10, (1, 1): a11}
-    for ab in scr:
-        scr[ab][...] = jnp.zeros_like(scr[ab])
-    for k, ab, o, u in _taps():
+    acc_h[...] = jnp.zeros_like(acc_h)
+    for k, (a, b), o, u in _taps():
         off = o * (wo + 2) + u
         g = g_ref[0:r - off, :]  # garbage rows of g are zero
         c = jax.lax.dot_general(
             g, w_ref[k * cin:(k + 1) * cin, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        scr[ab][off:r, :] += c
-    planes = {(0, 0): p00, (0, 1): p01, (1, 0): p10, (1, 1): p11}
-    masks = {(0, 0): m00, (0, 1): m01, (1, 0): m10, (1, 1): m11}
-    outs = {(0, 0): h00, (0, 1): h01, (1, 0): h10, (1, 1): h11}
-    for ab in scr:
-        yf = planes[ab][...].astype(jnp.float32)
-        pre = (yf * sc_ref[...] + bi_ref[...]) \
-            .astype(planes[ab].dtype).astype(jnp.float32)
-        keep = (pre > 0).astype(jnp.float32) * masks[ab][...]
-        hh = scr[ab][...] * keep
-        xhat = (yf - mn_ref[...]) * iv_ref[...]
-        acc_st[0:1, :] += jnp.sum(hh, axis=0, keepdims=True)
-        acc_st[1:2, :] += jnp.sum(hh * xhat, axis=0, keepdims=True)
-        outs[ab][...] = hh.astype(h00.dtype)
+        acc_h[2 * a + b, off:r, :] += c
+    for a in (0, 1):
+        for b in (0, 1):
+            idx = 2 * a + b
+            yf = p_ref[idx].astype(jnp.float32)
+            pre = (yf * sc_ref[...] + bi_ref[...])                 .astype(p_ref.dtype).astype(jnp.float32)
+            keep = (pre > 0).astype(jnp.float32)                 * m_ref[:, 1 + idx:2 + idx]
+            hh = acc_h[idx] * keep
+            xhat = (yf - mn_ref[...]) * iv_ref[...]
+            acc_st[0:1, :] += jnp.sum(hh, axis=0, keepdims=True)
+            acc_st[1:2, :] += jnp.sum(hh * xhat, axis=0, keepdims=True)
+            h_ref[idx, :, :] = hh.astype(h_ref.dtype)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
         st_ref[...] = acc_st[...]
 
 
-def _conv_dgrad(g_halo, w9, planes, plane_masks, sc, bi, mn, iv, *,
-                f, ho, wo):
+def _conv_dgrad(g_halo, w9, planes, masks, sc, bi, mn, iv, *, f, ho, wo):
     """Backprop g (halo layout, zeroed garbage) through the conv into its
     input PLANES, fused with the previous layer's ReLU mask and the
-    train-BN backward reductions.  Returns ({(a,b): h plane (F*S, Cin)},
-    sums (2, Cin) f32 [sum h, sum h*x_hat])."""
+    train-BN backward reductions.  Returns (h planes (4, F*S, Cin), sums
+    (2, Cin) f32 [sum h, sum h*x_hat])."""
     s = _halo_shape(ho, wo)
-    cin = next(iter(planes.values())).shape[-1]
+    cin = planes.shape[-1]
     cout = w9.shape[1]
     fb = _pick_fb(f, s, max(cin, cout))
     r = fb * s
     kernel = functools.partial(_dgrad_kernel, r=r, wo=wo, cin=cin)
-    plane_spec = pl.BlockSpec((r, cin), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((r, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    pdt = next(iter(planes.values())).dtype
-    outs = pl.pallas_call(
+    h, st = pl.pallas_call(
         kernel,
         grid=(f // fb,),
         in_specs=[
@@ -381,28 +361,30 @@ def _conv_dgrad(g_halo, w9, planes, plane_masks, sc, bi, mn, iv, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (1, Cin)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mean (1, Cin)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # inv (1, Cin)
-            mask_spec, mask_spec, mask_spec, mask_spec,
-            plane_spec, plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec((r, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, r, cin), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((r, cout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[plane_spec] * 4 + [
+        out_specs=[
+            pl.BlockSpec((4, r, cin), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((2, cin), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((f * s, cin), pdt)] * 4 + [
-            jax.ShapeDtypeStruct((2, cin), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((r, cin), jnp.float32)] * 4 + [
-            pltpu.VMEM((2, cin), jnp.float32)],
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, f * s, cin), g_halo.dtype),
+            jax.ShapeDtypeStruct((2, cin), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, r, cin), jnp.float32),
+                        pltpu.VMEM((2, cin), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(w9, sc, bi, mn, iv,
-      plane_masks[(0, 0)], plane_masks[(0, 1)], plane_masks[(1, 0)],
-      plane_masks[(1, 1)],
-      planes[(0, 0)], planes[(0, 1)], planes[(1, 0)], planes[(1, 1)],
-      g_halo)
-    h = {(0, 0): outs[0], (0, 1): outs[1], (1, 0): outs[2],
-         (1, 1): outs[3]}
-    return h, outs[4]
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(w9, sc, bi, mn, iv, masks, planes, g_halo)
+    return h, st
 
 
 # ---------------------------------------------------------------------------
@@ -448,20 +430,18 @@ def _stem_fwd_impl(x, w1, b1, ga1, be1, w2, b2, ga2, be2, w3, b3, ga3, be3,
 
     w2r = w2.reshape(-1, w2.shape[-1]).astype(x.dtype)
     planes1 = _split_planes(y1)
-    pmask1 = {ab: _plane_mask(f, h2, w2dim, *ab) for ab in planes1}
+    masks_l2 = _masks(f, h2, w2dim)
     y2h, st2 = _conv_fwd(planes1, w2r, _row(b2), _row(sc1), _row(bi1),
-                         _out_mask(f, h2, w2dim), pmask1, f=f, ho=h2,
-                         wo=w2dim, prologue=True)
+                         masks_l2, f=f, ho=h2, wo=w2dim, prologue=True)
     m2 = f * h2 * w2dim
     bm2, bv2, iv2, sc2, bi2 = _bn_scalars(st2[0], st2[1], m2, ga2, be2, eps)
 
     w3r = w3.reshape(-1, w3.shape[-1]).astype(x.dtype)
     y2 = _from_halo(y2h, f, h2, w2dim)
     planes2 = _split_planes(y2)
-    pmask2 = {ab: _plane_mask(f, h3, w3dim, *ab) for ab in planes2}
+    masks_l3 = _masks(f, h3, w3dim)
     y3h, st3 = _conv_fwd(planes2, w3r, _row(b3), _row(sc2), _row(bi2),
-                         _out_mask(f, h3, w3dim), pmask2, f=f, ho=h3,
-                         wo=w3dim, prologue=True)
+                         masks_l3, f=f, ho=h3, wo=w3dim, prologue=True)
     m3 = f * h3 * w3dim
     bm3, bv3, iv3, sc3, bi3 = _bn_scalars(st3[0], st3[1], m3, ga3, be3, eps)
 
@@ -530,11 +510,11 @@ def _stem_bwd_rule(eps, res, ct):
 
     # Layer 3 conv backward (Pallas).
     planes2 = _split_planes(y2)
-    masks2 = {ab: _plane_mask(f, h3, w3dim, *ab) for ab in planes2}
+    masks_l3 = _masks(f, h3, w3dim)
     g3h = _to_halo(g3)
-    dw3 = _conv_wgrad(planes2, g3h, _row(sc2), _row(bi2), masks2, f=f,
+    dw3 = _conv_wgrad(planes2, g3h, _row(sc2), _row(bi2), masks_l3, f=f,
                       ho=h3, wo=w3dim, cout=g3.shape[-1], prologue=True)
-    h2_planes, st2 = _conv_dgrad(g3h, w3r, planes2, masks2, _row(sc2),
+    h2_planes, st2 = _conv_dgrad(g3h, w3r, planes2, masks_l3, _row(sc2),
                                  _row(bi2), _row(bm2), _row(iv2),
                                  f=f, ho=h3, wo=w3dim)
     hg2 = _from_planes(h2_planes, f, h2, w2dim)
@@ -546,11 +526,11 @@ def _stem_bwd_rule(eps, res, ct):
 
     # Layer 2 conv backward.
     planes1 = _split_planes(y1)
-    masks1 = {ab: _plane_mask(f, h2, w2dim, *ab) for ab in planes1}
+    masks_l2 = _masks(f, h2, w2dim)
     g2h = _to_halo(g2)
-    dw2 = _conv_wgrad(planes1, g2h, _row(sc1), _row(bi1), masks1, f=f,
+    dw2 = _conv_wgrad(planes1, g2h, _row(sc1), _row(bi1), masks_l2, f=f,
                       ho=h2, wo=w2dim, cout=g2.shape[-1], prologue=True)
-    h1_planes, st1 = _conv_dgrad(g2h, w2r, planes1, masks1, _row(sc1),
+    h1_planes, st1 = _conv_dgrad(g2h, w2r, planes1, masks_l2, _row(sc1),
                                  _row(bi1), _row(bm1), _row(iv1),
                                  f=f, ho=h2, wo=w2dim)
     hg1 = _from_planes(h1_planes, f, h1, w1dim)
