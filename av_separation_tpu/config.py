@@ -42,7 +42,7 @@ class ModelConfig:
     attn_impl: str = "auto"         # self/cross attention: 'auto' | 'xla' | 'pallas'
     decoder_impl: str = "auto"      # fused mask MLP+sigmoid+apply: 'auto' | 'xla' | 'pallas'
     proj_impl: str = "auto"         # audio conv1d input projection: 'auto' | 'xla' | 'pallas'
-    stem_impl: str = "auto"         # visual conv stem (train mode): 'auto' | 'xla' | 'pallas'
+    stem_impl: str = "auto"         # visual conv stem: 'auto' | 'xla' | 's2d' | 'pallas'
     # Compute dtype for matmuls/activations; params stay float32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # Remat (activation checkpointing) for the transformer stacks.

@@ -191,6 +191,13 @@ class PrefetchIterator:
     Host IO + STFT for the next batches overlaps the device step on the
     current one (bounded queue, `num_threads` loader threads).  Yields the
     standard stacked batch dict forever; `close()` (or GC) stops workers.
+
+    Batch ORDER is deterministic regardless of `num_threads`: each index
+    batch carries a sequence ticket assigned at shuffle time, and the
+    consumer reorders worker output by ticket — so a resumed run replays
+    bit-identical batches in the same order an uninterrupted run would
+    (the property the other three pipelines already have; tested with
+    num_threads=4 in tests/test_files.py).
     """
 
     def __init__(self, dataset: FileAVDataset, batch_size: int,
@@ -200,18 +207,18 @@ class PrefetchIterator:
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         # Fast-forward the epoch-shuffle stream to the resume point: the
-        # resumed run draws batches from the same remaining index pool an
-        # uninterrupted run would (with num_threads > 1 the ORDER batches
-        # complete in is scheduling-dependent either way, so this is
-        # set-deterministic, not order-deterministic).
+        # resumed run replays the same batch stream an uninterrupted run
+        # would, in the same order (tickets serialize worker output).
         n = len(dataset)
         bpe = max(1, n // batch_size)
         for _ in range(start_step // bpe):
             self.rng.permutation(n)
         self._skip = start_step % bpe
-        self._idx_q: "queue.Queue[List[int]]" = queue.Queue()
-        self._out_q: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(
-            maxsize=queue_depth)
+        self._ticket = 0        # next ticket to assign (under _epoch_lock)
+        self._next_ticket = 0   # next ticket to deliver (consumer only)
+        self._stash: Dict[int, Dict[str, np.ndarray]] = {}
+        self._idx_q: "queue.Queue[tuple]" = queue.Queue()
+        self._out_q: "queue.Queue[tuple]" = queue.Queue(maxsize=queue_depth)
         self._stop = threading.Event()
         self._epoch_lock = threading.Lock()
         self._threads = [
@@ -229,12 +236,14 @@ class PrefetchIterator:
             if self._skip:
                 self._skip -= 1
                 continue
-            self._idx_q.put(list(order[start:start + self.batch_size]))
+            self._idx_q.put((self._ticket,
+                             list(order[start:start + self.batch_size])))
+            self._ticket += 1
 
     def _worker(self) -> None:
         while not self._stop.is_set():
             try:
-                idx = self._idx_q.get(timeout=0.1)
+                ticket, idx = self._idx_q.get(timeout=0.1)
             except queue.Empty:
                 with self._epoch_lock:
                     if self._idx_q.empty():
@@ -245,7 +254,7 @@ class PrefetchIterator:
                      for k in samples[0]}
             while not self._stop.is_set():
                 try:
-                    self._out_q.put(batch, timeout=0.1)
+                    self._out_q.put((ticket, batch), timeout=0.1)
                     break
                 except queue.Full:
                     continue
@@ -254,7 +263,16 @@ class PrefetchIterator:
         return self
 
     def __next__(self) -> Dict[str, np.ndarray]:
-        return self._out_q.get()
+        # Reorder worker output by ticket.  The stash is bounded by
+        # num_threads + queue_depth: the consumer keeps draining the queue
+        # while waiting for the next ticket, so a worker holding it never
+        # deadlocks against a full queue.
+        while self._next_ticket not in self._stash:
+            ticket, batch = self._out_q.get()
+            self._stash[ticket] = batch
+        batch = self._stash.pop(self._next_ticket)
+        self._next_ticket += 1
+        return batch
 
     def close(self) -> None:
         self._stop.set()

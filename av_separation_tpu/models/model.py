@@ -192,8 +192,8 @@ class VisualEncoder(nn.Module):
         cfg = self.cfg
         b, n, h_dim, w_dim = frames.shape
         x = frames.reshape(b * n, h_dim, w_dim, 1)
-        use_fused_stem = (not deterministic and resolve_stem(
-            cfg.stem_impl, h_dim, w_dim) == "pallas")
+        stem = resolve_stem(cfg.stem_impl, h_dim, w_dim)
+        use_fused_stem = (not deterministic and stem == "pallas")
         if use_fused_stem:
             from av_separation_tpu.ops.pallas.conv_stem import (
                 fused_visual_stem)
@@ -203,7 +203,15 @@ class VisualEncoder(nn.Module):
                 ga, be, rm, rv = _BNParams(co, name=f"bn{i + 1}")()
                 args += [w, cb, ga, be]
                 running.append((rm, rv))
-            pooled, stats = fused_visual_stem(x, *args)
+            # Match the XLA path's compute-dtype lowering (the nn.Conv
+            # dtype argument); fused_visual_stem derives its compute
+            # dtype from x.dtype.  Frames are data, not differentiated:
+            # the stem VJP returns no input cotangent, so declare that
+            # contract here rather than fabricating zeros silently.
+            if _cdt(cfg) is not None:
+                x = x.astype(_cdt(cfg))
+            pooled, stats = fused_visual_stem(jax.lax.stop_gradient(x),
+                                              *args)
             if not self.is_initializing():
                 # torch BatchNorm2d running-stat update: momentum 0.1,
                 # UNBIASED batch variance (TorchBatchNorm semantics).
@@ -215,6 +223,23 @@ class VisualEncoder(nn.Module):
                     rv.value = (0.9 * rv.value
                                 + 0.1 * bv * (m_cnt / max(m_cnt - 1, 1)))
             x = pooled
+        elif stem == "s2d":
+            # Space-to-depth restructure (ops/s2d_stem.py): each stride-2
+            # 3x3 conv runs as an exactly-equivalent stride-1 2x2 conv
+            # over the S2D input — MXU-deep contractions and a dense
+            # (no zero-stuffing) backward pair.  Same parameter tree as
+            # the other paths (checkpoints transplant across impls).
+            from av_separation_tpu.ops.s2d_stem import conv3x3s2_s2d
+            dt = _cdt(cfg)
+            for i, (ci, co) in enumerate(((1, 32), (32, 64), (64, 128))):
+                w, cb = _Conv2dParams(ci, co, name=f"conv{i + 1}")()
+                if dt is not None:
+                    x, w, cb = x.astype(dt), w.astype(dt), cb.astype(dt)
+                x = conv3x3s2_s2d(x, w) + cb
+                x = TorchBatchNorm(co, name=f"bn{i + 1}")(
+                    x, use_running_average=deterministic)
+                x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
         else:
             for i, ch in enumerate((32, 64, 128)):
                 x = _conv(ch, (3, 3), (2, 2), [(1, 1), (1, 1)],

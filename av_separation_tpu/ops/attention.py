@@ -34,12 +34,15 @@ time):
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from av_separation_tpu.ops import policy
+
+_logger = logging.getLogger(__name__)
 from av_separation_tpu.ops.policy import AUTO_MIN_SCORE_ELEMS  # noqa: F401 (re-export)
 
 
@@ -225,6 +228,12 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         if impl == "pallas":
             # Indivisible time axis: the only safe lowering under a sharded
             # mesh is the GSPMD-partitionable XLA path.
+            _logger.warning(
+                "flash attention demoted to XLA dense: 'seq' axis (%d) does "
+                "not divide time axes Tq=%d/Tk=%d — the measured flash win "
+                "is lost for this program",
+                policy.mesh_axis_size(mesh_for_seq, "seq"),
+                qh.shape[2], kh.shape[2])
             impl = "xla"
     if impl == "pallas":
         from av_separation_tpu.ops.pallas.attention import flash_attention
@@ -244,6 +253,11 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 mesh, "data", "fsdp", "model") > 1:
             out = _flash_sharded(qh, kh, vh, mesh, dropout_rate, seed)
             if out is None:  # mesh can't divide batch/heads — GSPMD path
+                _logger.warning(
+                    "flash attention demoted to XLA dense: mesh %s cannot "
+                    "divide batch=%d/heads=%d — the measured flash win is "
+                    "lost for this program",
+                    dict(mesh.shape), qh.shape[0], qh.shape[1])
                 out = attention_xla(qh, kh, vh, dropout_rate, dropout_rng)
         elif dropout_rate > 0.0:
             out = flash_attention(qh, kh, vh, dropout_rate=dropout_rate,

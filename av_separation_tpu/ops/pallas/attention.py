@@ -134,7 +134,14 @@ def _keep_mask(seed_ref, b, i, j, shape, rate: float, hw: bool = False):
         # blocks; i (query blocks >= 16 wide) stays well inside the
         # remaining bits for any sequence this framework runs.
         ij = (i.astype(jnp.int32) << 12) | j.astype(jnp.int32)
-        pltpu.prng_seed(seed_ref[0] + ij, b.astype(jnp.int32))
+        # Spread the tile id by an odd constant (golden-ratio multiplier)
+        # before mixing: adding ij raw would alias mask streams between
+        # two call sites whose random seeds differ by a small tile offset
+        # (< ~2^24).  Multiplying by 0x9E3779B1 (odd, hence a bijection on
+        # int32) keeps tiles distinct within a call while separating
+        # nearby call-site seeds.
+        pltpu.prng_seed(seed_ref[0] + ij * jnp.int32(-1640531535),
+                        b.astype(jnp.int32))
         bits = pltpu.prng_random_bits(shape)
         return bits.astype(u) >= threshold
     tile = (seed_ref[0].astype(u) * u(0x9E3779B9)

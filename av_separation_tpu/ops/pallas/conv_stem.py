@@ -540,8 +540,10 @@ def _stem_bwd_rule(eps, res, ct):
     dga1, dbe1 = st1[1], st1[0]
     db1 = jnp.sum(g1.astype(jnp.float32), axis=(0, 1, 2))
 
-    # conv1 weight gradient via the XLA conv's own VJP (no dgrad into the
-    # input frames — they are data, not differentiated).
+    # conv1 weight gradient via the XLA conv's own VJP.  No dgrad into the
+    # input frames: the VisualEncoder call site wraps x in
+    # lax.stop_gradient, declaring frames as non-differentiated data, so
+    # the zero cotangent below is the stated contract, not a silent lie.
     zero_b1 = jnp.zeros((w1.shape[-1],), x.dtype)
     _, vjp_w1 = jax.vjp(lambda w: _conv1_xla(x, w, zero_b1), w1)
     (dw1,) = vjp_w1(g1)

@@ -39,11 +39,14 @@ natively.
 
 from __future__ import annotations
 
+import logging
 import threading
 from contextlib import contextmanager
 from typing import Optional
 
 import jax
+
+_logger = logging.getLogger(__name__)
 
 # Minimum Tq*Tk for 'auto' attention to pick the flash kernel.  At/above
 # this the XLA path's materialized probability residuals + dropout masks
@@ -165,5 +168,10 @@ def resolve_fused(impl: str, seq_len: int) -> str:
     if resolved_platform() != "tpu" or seq_len < FUSED_MIN_SEQ:
         return "xla"
     if mesh_axis_size(active_mesh(), "data", "fsdp", "model") > 1:
+        _logger.warning(
+            "fused projection/decoder kernels demoted to XLA under sharded "
+            "mesh %s (GSPMD cannot partition a pallas_call; the ~3%% fused "
+            "margin is lost for this program)",
+            dict(active_mesh().shape))
         return "xla"
     return "pallas"

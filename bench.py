@@ -225,20 +225,24 @@ def main() -> int:
         else:
             bytes_total = train_step_bytes(cfg, b) * total_steps
             bytes_src = "analytic"
+        # VPU-side exp/sin work (softmax, on-device sine data gen) that
+        # matmul-FLOP accounting misses — a third roofline term, so a
+        # softmax/sine-heavy step can be labeled VPU-bound rather than
+        # pretending the MXU/HBM floor is the whole story.
+        trans_per_step = None
+        if compiled_cost.get("transcendentals_per_step") is not None:
+            trans_per_step = compiled_cost["transcendentals_per_step"]
+        elif compiled_cost.get("transcendentals"):
+            trans_per_step = (compiled_cost["transcendentals"]
+                              / compiled_cost["steps_per_call"])
         rl = roofline(flops, bytes_total, dt, cfg.model.compute_dtype,
-                      jax.devices()[0].device_kind)
+                      jax.devices()[0].device_kind,
+                      transcendentals=(trans_per_step * total_steps
+                                       if trans_per_step else None))
         if rl:
             rl["bytes_source"] = bytes_src
-            if compiled_cost.get("transcendentals_per_step") is not None:
-                # VPU-side exp/sin work (softmax, on-device sine data gen)
-                # that matmul-FLOP accounting misses — reported so a low
-                # pct_roofline at small configs is explainable.
-                rl["transcendentals_per_step"] = round(
-                    compiled_cost["transcendentals_per_step"])
-            elif compiled_cost.get("transcendentals"):
-                rl["transcendentals_per_step"] = round(
-                    compiled_cost["transcendentals"]
-                    / compiled_cost["steps_per_call"])
+            if trans_per_step is not None:
+                rl["transcendentals_per_step"] = round(trans_per_step)
             result.update(rl)
     print(json.dumps(result))
     return 0

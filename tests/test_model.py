@@ -109,6 +109,55 @@ class TestVisualEncoder:
         assert all(np.isfinite(float(jnp.abs(g).sum()))
                    for g in jax.tree_util.tree_leaves(grads))
 
+    @pytest.mark.parametrize("deterministic", [True, False])
+    def test_s2d_stem_matches_xla(self, small_cfg, visual_batch,
+                                  deterministic):
+        """stem_impl='s2d' (space-to-depth restructure, ops/s2d_stem.py)
+        computes exactly the same stem as the XLA conv path — identical
+        parameter tree, float-tolerance outputs, both BN modes."""
+        x = jnp.asarray(visual_batch)
+        enc_x = VisualEncoder(small_cfg.replace(stem_impl="xla"))
+        enc_s = VisualEncoder(small_cfg.replace(stem_impl="s2d"))
+        variables = enc_x.init(jax.random.PRNGKey(0), x, T,
+                               deterministic=True)
+        kw = {} if deterministic else {
+            "mutable": ["batch_stats"],
+            "rngs": {"dropout": jax.random.PRNGKey(1)}}
+        out_x = enc_x.apply(variables, x, T, deterministic=deterministic,
+                            **kw)
+        out_s = enc_s.apply(variables, x, T, deterministic=deterministic,
+                            **kw)
+        if not deterministic:
+            (out_x, bs_x), (out_s, bs_s) = out_x, out_s
+            for a, b in zip(jax.tree_util.tree_leaves(bs_x),
+                            jax.tree_util.tree_leaves(bs_s)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_s),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_s2d_stem_gradients_match_xla(self, small_cfg, visual_batch):
+        x = jnp.asarray(visual_batch)
+        enc_x = VisualEncoder(small_cfg.replace(stem_impl="xla"))
+        enc_s = VisualEncoder(small_cfg.replace(stem_impl="s2d"))
+        variables = enc_x.init(jax.random.PRNGKey(0), x, T,
+                               deterministic=True)
+
+        def loss(enc, params):
+            out, _ = enc.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, T, deterministic=False, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(out ** 2)
+
+        gx = jax.grad(lambda p: loss(enc_x, p))(variables["params"])
+        gs = jax.grad(lambda p: loss(enc_s, p))(variables["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(gx),
+                        jax.tree_util.tree_leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-4)
+
     def test_batch_stats_update_in_training(self, small_cfg, visual_batch):
         enc = VisualEncoder(small_cfg)
         x = jnp.asarray(visual_batch)
