@@ -136,7 +136,7 @@ class AudioEncoder(nn.Module):
 class _Conv2dParams(nn.Module):
     """Raw 3x3 conv kernel+bias holder with the SAME param names, shapes
     and initializers as the `nn.Conv` the XLA stem path creates — so the
-    fused Pallas stem reads the identical parameter tree (reference torch
+    s2d stem path reads the identical parameter tree (reference torch
     weights transplant into either path)."""
 
     cin: int
@@ -150,24 +150,6 @@ class _Conv2dParams(nn.Module):
         return kernel, bias
 
 
-class _BNParams(nn.Module):
-    """Raw BatchNorm parameter/variable holder mirroring TorchBatchNorm's
-    tree (params scale/bias, batch_stats mean/var) for the fused stem."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.variable("batch_stats", "mean",
-                             lambda: jnp.zeros((self.features,),
-                                               jnp.float32))
-        var = self.variable("batch_stats", "var",
-                            lambda: jnp.ones((self.features,), jnp.float32))
-        return scale, bias, mean, var
-
-
 class VisualEncoder(nn.Module):
     """Lip-frame encoder (reference model.py:67-117).
 
@@ -175,12 +157,14 @@ class VisualEncoder(nn.Module):
 
     All B*N frames are folded into one batch for the conv stem (stride-2 conv
     + BN + ReLU x3, channels 1->32->64->128, then global average pool), so the
-    small spatial convs batch into MXU-sized work.  In training on TPU the
-    stem runs as fused Pallas kernels (ops/pallas/conv_stem.py — measured at
-    ~37% of the demo/lrs2 step as separate XLA passes); `stem_impl` selects,
-    resolved through ops/policy.py.  The frame sequence then runs through a
-    pre-norm transformer and is linearly resampled to the audio frame rate
-    with exact `F.interpolate(align_corners=False)` semantics.
+    small spatial convs batch into MXU-sized work.  `stem_impl` selects the
+    stem lowering ('xla' conv emitter or the 's2d' space-to-depth
+    restructure), resolved through ops/policy.py — three alternatives were
+    built and measured against the XLA emitter on v5e (Pallas v1/v2, s2d);
+    all lost and 'auto' stays 'xla' (evidence: bench_results/stem_ab.jsonl,
+    docs/kernels.md).  The frame sequence then runs through a pre-norm
+    transformer and is linearly resampled to the audio frame rate with
+    exact `F.interpolate(align_corners=False)` semantics.
     """
 
     cfg: ModelConfig
@@ -193,37 +177,7 @@ class VisualEncoder(nn.Module):
         b, n, h_dim, w_dim = frames.shape
         x = frames.reshape(b * n, h_dim, w_dim, 1)
         stem = resolve_stem(cfg.stem_impl, h_dim, w_dim)
-        use_fused_stem = (not deterministic and stem == "pallas")
-        if use_fused_stem:
-            from av_separation_tpu.ops.pallas.conv_stem import (
-                fused_visual_stem)
-            args, running = [], []
-            for i, (ci, co) in enumerate(((1, 32), (32, 64), (64, 128))):
-                w, cb = _Conv2dParams(ci, co, name=f"conv{i + 1}")()
-                ga, be, rm, rv = _BNParams(co, name=f"bn{i + 1}")()
-                args += [w, cb, ga, be]
-                running.append((rm, rv))
-            # Match the XLA path's compute-dtype lowering (the nn.Conv
-            # dtype argument); fused_visual_stem derives its compute
-            # dtype from x.dtype.  Frames are data, not differentiated:
-            # the stem VJP returns no input cotangent, so declare that
-            # contract here rather than fabricating zeros silently.
-            if _cdt(cfg) is not None:
-                x = x.astype(_cdt(cfg))
-            pooled, stats = fused_visual_stem(jax.lax.stop_gradient(x),
-                                              *args)
-            if not self.is_initializing():
-                # torch BatchNorm2d running-stat update: momentum 0.1,
-                # UNBIASED batch variance (TorchBatchNorm semantics).
-                f_all = b * n
-                for li, (rm, rv) in enumerate(running):
-                    m_cnt = f_all * (h_dim >> (li + 1)) * (w_dim >> (li + 1))
-                    bm, bv = stats[2 * li], stats[2 * li + 1]
-                    rm.value = 0.9 * rm.value + 0.1 * bm
-                    rv.value = (0.9 * rv.value
-                                + 0.1 * bv * (m_cnt / max(m_cnt - 1, 1)))
-            x = pooled
-        elif stem == "s2d":
+        if stem == "s2d":
             # Space-to-depth restructure (ops/s2d_stem.py): each stride-2
             # 3x3 conv runs as an exactly-equivalent stride-1 2x2 conv
             # over the S2D input — MXU-deep contractions and a dense

@@ -132,22 +132,35 @@ def resolve_attention(impl: str, tq: int, tk: int) -> str:
 
 
 def resolve_stem(impl: str, frame_h: int, frame_w: int) -> str:
-    """Trace-time resolution for the fused visual conv stem
-    (ops/pallas/conv_stem.py, TRAIN mode only — the caller gates on
-    deterministic).
+    """Trace-time resolution for the visual conv stem implementation.
 
-    'auto' currently resolves to 'xla' EVERYWHERE: the v1 fused kernels
-    are numerically gated (192-test interpret suite + on-chip checks) but
-    measured 12x SLOWER than the XLA stem end-to-end on v5e (demo shapes:
-    21.7 ms vs 1.7 ms fwd) — the in-kernel even/odd parity restructuring
-    that makes the stride-2 taps static slices executes as per-program
-    sublane-shuffle chains at runtime.  The v2 design (XLA-side plane
-    pre-split + flat 2D kernels with manual halo DMA) is the roadmap fix;
-    until a sweep shows a pallas win, 'auto' must not regress the step
-    ('pallas' stays available explicitly for development).  Motivation for
-    eventually winning here: the XLA stem is 37%/36% of the demo/lrs2
-    steps (bench_results/profile_{demo,lrs2}_auto.jsonl).
+    'auto' resolves to 'xla' EVERYWHERE — a closed question after three
+    measured alternatives (the stem is 37%/36% of the demo/lrs2 steps,
+    bench_results/profile_{demo,lrs2}_auto.jsonl, so each was worth
+    building):
+
+      - Pallas v1 (r4): fused conv+BN+ReLU kernels with in-kernel parity
+        restructuring — 12x/26x slower than the XLA stem (per-program
+        sublane-shuffle chains).  Deleted.
+      - Pallas v2 (r4): XLA-side plane pre-split + strictly-2D flat-halo
+        kernels — still 7.5x slower (per-program cost floor + multi-ms
+        XLA gather glue).  Deleted.
+      - s2d (r5, kept as explicit opt-in): exact space-to-depth
+        restructure to stride-1 2x2 convs (ops/s2d_stem.py) — pure XLA,
+        MXU-deep contractions, dense backward, but the 16/9 FLOP
+        expansion + S2D relayout traffic lose to the conv emitter:
+        fwd+bwd 3.44 vs 2.30 ms at demo shapes, 15.8 vs 9.7 ms at lrs2
+        (bench_results/stem_ab.jsonl, barrier-scan methodology).
+
+    Conclusion recorded in docs/kernels.md: XLA's conv emitter is the
+    measured winner at every shipped frame geometry; 'auto' must not
+    regress the step.  's2d' requires even frame dims (the S2D reshape).
     """
+    if impl == "pallas":
+        raise ValueError(
+            "stem_impl='pallas' was removed in r5: both fused-kernel "
+            "designs measured 7.5-26x slower than the XLA stem on v5e "
+            "(see docs/kernels.md).  Use 'auto', 'xla', or 's2d'.")
     if impl != "auto":
         return impl
     return "xla"

@@ -116,36 +116,39 @@ def main() -> int:
         from av_separation_tpu.utils.roofline import xla_cost_analysis
         k = max(10, args.steps // 5)
         fused = make_fused_train_steps(model, cfg, k, mesh)
-        # Read XLA's own flops/bytes accounting for the roofline report.
-        # The AOT objects are used ONLY for cost_analysis — executing them
-        # hangs on the axon-tunneled backend, so the timed loop runs the
+        # Read XLA's own cost analysis for the roofline report.  The AOT
+        # objects are used ONLY for cost_analysis — executing them hangs
+        # on the axon-tunneled backend, so the timed loop runs the
         # ordinary jit call (the compile is shared via the cache).
         #
-        # Per-step bytes are MARGINAL: cost-analyze the scan at two lengths
-        # (k and 2k) and difference them, so once-per-call traffic (state
-        # in/out, donation copies) doesn't leak into the per-step figure.
-        # Round 3 shipped bytes_per_call/k, which made the reported bound
-        # flip between "compute" (k=50, BENCH_r03) and "bandwidth" (k=10,
-        # sweep.md) for the SAME config — VERDICT r3 weak #2.
+        # COST-ANALYSIS SEMANTICS CALIBRATION (r5 finding): on this
+        # backend the analysis prices the scan BODY ONCE regardless of
+        # trip count (k=10 and k=20 programs return byte-identical
+        # analyses), so r4's "per-call / k" numbers understated per-step
+        # transcendentals by k (2.72M reported vs 135.8M true at demo).
+        # Calibrate against the ANALYTIC per-step matmul FLOPs: the
+        # divisor is round(ca_flops / analytic_step_flops), clamped >= 1
+        # — robust whether a backend prices the body once (ratio ~1) or
+        # x k (ratio ~k).  Separately, 'bytes accessed' is NOT HBM
+        # traffic (9.96 GB/step at demo would need 12 ms at 819 GB/s vs
+        # the 7.5 ms measured step — it counts fusion operand bytes per
+        # use); it is recorded as a diagnostic and the roofline's
+        # bandwidth floor uses the analytic activation/param model
+        # instead.
         try:
+            from av_separation_tpu.utils.roofline import train_step_flops
             ca = xla_cost_analysis(fused.lower(state).compile())
-            if ca.get("bytes accessed"):
-                compiled_cost = {"bytes_per_call": ca["bytes accessed"],
-                                 "transcendentals": ca.get("transcendentals"),
-                                 "steps_per_call": k}
-                fused2 = make_fused_train_steps(model, cfg, 2 * k, mesh)
-                ca2 = xla_cost_analysis(fused2.lower(state).compile())
-                d_bytes = (ca2.get("bytes accessed", 0)
-                           - ca["bytes accessed"])
-                # Guard: some backends return identical analyses for both
-                # scan lengths (d_bytes == 0) — fall back to per-call/k.
-                if d_bytes > 0:
-                    compiled_cost["bytes_per_step"] = d_bytes / k
-                    if ca.get("transcendentals") is not None \
-                            and ca2.get("transcendentals") is not None:
-                        compiled_cost["transcendentals_per_step"] = (
-                            ca2["transcendentals"]
-                            - ca["transcendentals"]) / k
+            if ca.get("flops"):
+                step_flops = train_step_flops(cfg, b, include_data_gen=True)
+                div = max(1, round(ca["flops"] / step_flops))
+                compiled_cost = {
+                    "cost_analysis_body_divisor": div,
+                    "xla_bytes_accessed_per_step":
+                        ca.get("bytes accessed", 0) / div,
+                }
+                if ca.get("transcendentals") is not None:
+                    compiled_cost["transcendentals_per_step"] = (
+                        ca["transcendentals"] / div)
         except Exception:
             pass
         state, loss = fused(state)  # compile + warm
@@ -175,9 +178,10 @@ def main() -> int:
         try:
             ca = xla_cost_analysis(step_fn.lower(state, batch).compile())
             if ca.get("bytes accessed"):
-                compiled_cost = {"bytes_per_call": ca["bytes accessed"],
-                                 "transcendentals": ca.get("transcendentals"),
-                                 "steps_per_call": 1}
+                compiled_cost = {
+                    "xla_bytes_accessed_per_step": ca["bytes accessed"],
+                    "transcendentals_per_step": ca.get("transcendentals"),
+                }
         except Exception:
             pass
         for _ in range(3):
@@ -212,29 +216,18 @@ def main() -> int:
             roofline, train_step_bytes, train_step_flops)
         flops = train_step_flops(cfg, b, include_data_gen=(
             args.mode == "fused")) * total_steps
-        if compiled_cost.get("bytes_per_step"):
-            # Marginal per-step bytes (two-scan-length difference): the
-            # per-step figure a long production run actually pays, and
-            # identical no matter what --steps the caller picked.
-            bytes_total = compiled_cost["bytes_per_step"] * total_steps
-            bytes_src = "xla_cost_analysis_marginal"
-        elif compiled_cost.get("bytes_per_call"):
-            calls = total_steps / compiled_cost["steps_per_call"]
-            bytes_total = compiled_cost["bytes_per_call"] * calls
-            bytes_src = "xla_cost_analysis"
-        else:
-            bytes_total = train_step_bytes(cfg, b) * total_steps
-            bytes_src = "analytic"
+        # HBM floor from the analytic activation/param model: XLA's
+        # 'bytes accessed' counts fusion operand bytes per USE, not HBM
+        # traffic (see the calibration comment above), so it cannot set
+        # a roofline floor — it is reported as a diagnostic instead.
+        bytes_total = train_step_bytes(
+            cfg, b, attn_impl=cfg.model.attn_impl) * total_steps
+        bytes_src = "analytic_model"
         # VPU-side exp/sin work (softmax, on-device sine data gen) that
         # matmul-FLOP accounting misses — a third roofline term, so a
         # softmax/sine-heavy step can be labeled VPU-bound rather than
         # pretending the MXU/HBM floor is the whole story.
-        trans_per_step = None
-        if compiled_cost.get("transcendentals_per_step") is not None:
-            trans_per_step = compiled_cost["transcendentals_per_step"]
-        elif compiled_cost.get("transcendentals"):
-            trans_per_step = (compiled_cost["transcendentals"]
-                              / compiled_cost["steps_per_call"])
+        trans_per_step = compiled_cost.get("transcendentals_per_step")
         rl = roofline(flops, bytes_total, dt, cfg.model.compute_dtype,
                       jax.devices()[0].device_kind,
                       transcendentals=(trans_per_step * total_steps
@@ -243,6 +236,9 @@ def main() -> int:
             rl["bytes_source"] = bytes_src
             if trans_per_step is not None:
                 rl["transcendentals_per_step"] = round(trans_per_step)
+            if compiled_cost.get("xla_bytes_accessed_per_step"):
+                rl["xla_bytes_accessed_per_step"] = round(
+                    compiled_cost["xla_bytes_accessed_per_step"])
             result.update(rl)
     print(json.dumps(result))
     return 0

@@ -62,6 +62,32 @@ class TestFlashAttention:
                 np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3,
                 err_msg=f"d{name} mismatch")
 
+    def test_packed_matches_blockwise_path(self):
+        # The head-packed single-block path (grid (BH/hp,), fused 1-kernel
+        # backward) must match the generic blockwise path bit-for-float:
+        # same shapes routed through both by forcing small blocks.
+        from av_separation_tpu.ops.pallas.attention import flash_attention
+        q = rand((2, 4, 96, 32), 0)
+        k = rand((2, 4, 80, 32), 1)
+        v = rand((2, 4, 80, 32), 2)
+        g = rand((2, 4, 96, 32), 3)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.vdot(fn(q, k, v), g)
+
+        packed = lambda q, k, v: flash_attention(q, k, v)
+        blockwise = lambda q, k, v: flash_attention(
+            q, k, v, block_q=48, block_k=128)
+        np.testing.assert_allclose(
+            np.asarray(packed(q, k, v)), np.asarray(blockwise(q, k, v)),
+            atol=2e-6, rtol=1e-5)
+        gp = jax.grad(loss(packed), argnums=(0, 1, 2))(q, k, v)
+        gb = jax.grad(loss(blockwise), argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gp, gb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-6, rtol=1e-4,
+                err_msg=f"d{name} packed vs blockwise")
+
     def test_long_sequence_blockwise(self):
         # Multiple q and k blocks exercise the online-softmax carry.
         from av_separation_tpu.ops.pallas.attention import flash_attention
@@ -483,77 +509,23 @@ class TestShardedFlashAttention:
         assert np.all(np.isfinite(np.asarray(g)))
 
 
-class TestFusedConvStem:
-    """Fused visual conv stem (ops/pallas/conv_stem.py) vs the XLA
-    VisualEncoder stem path — forward, batch-stat updates, and parameter
-    gradients (train-mode BN), in interpret mode."""
+class TestStemPolicy:
+    """The visual stem 'auto' resolution is a CLOSED measured question:
+    three alternatives (Pallas v1/v2, s2d) lost to the XLA conv emitter on
+    v5e (docs/kernels.md, bench_results/stem_ab.jsonl); 'pallas' is
+    removed and raises."""
 
-    def _encoders(self):
-        from av_separation_tpu.config import ModelConfig
-        from av_separation_tpu.models.model import VisualEncoder
-        cfg_x = ModelConfig(freq_bins=65, d_model=64, nhead=2,
-                            num_encoder_layers=1, num_fusion_layers=1,
-                            dropout=0.0, stem_impl="xla")
-        return (VisualEncoder(cfg_x),
-                VisualEncoder(cfg_x.replace(stem_impl="pallas")))
-
-    def test_forward_and_batch_stats_allclose(self):
-        vx, vp = self._encoders()
-        frames = rand((2, 10, 32, 32), 0)
-        variables = vx.init(jax.random.PRNGKey(0), frames, 16)
-        outx, mutx = vx.apply(variables, frames, 16, deterministic=False,
-                              mutable=["batch_stats"])
-        outp, mutp = vp.apply(variables, frames, 16, deterministic=False,
-                              mutable=["batch_stats"])
-        np.testing.assert_allclose(np.asarray(outp), np.asarray(outx),
-                                   atol=2e-5, rtol=1e-4)
-        for a, b in zip(jax.tree.leaves(mutx), jax.tree.leaves(mutp)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=1e-5, rtol=1e-5)
-
-    def test_param_grads_allclose(self):
-        vx, vp = self._encoders()
-        frames = rand((2, 8, 32, 32), 1)
-        variables = vx.init(jax.random.PRNGKey(0), frames, 16)
-        probe = rand((2, 16, 64), 2)
-
-        def loss(enc, params):
-            out, _ = enc.apply(
-                {"params": params,
-                 "batch_stats": variables["batch_stats"]},
-                frames, 16, deterministic=False, mutable=["batch_stats"])
-            return jnp.sum(out * probe)
-
-        gx = jax.grad(lambda p: loss(vx, p))(variables["params"])
-        gp = jax.grad(lambda p: loss(vp, p))(variables["params"])
-        flat_x = jax.tree_util.tree_leaves_with_path(gx)
-        flat_p = jax.tree.leaves(gp)
-        for (path, a), b in zip(flat_x, flat_p):
-            scale = max(1e-6, float(np.max(np.abs(np.asarray(a)))))
-            np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), atol=1e-4 + 1e-4 * scale,
-                err_msg=str(path))
-
-    def test_param_tree_identical_across_impls(self):
-        vx, vp = self._encoders()
-        frames = rand((1, 4, 32, 32), 3)
-        va = vx.init(jax.random.PRNGKey(0), frames, 8)
-        vb = vp.init(jax.random.PRNGKey(0), frames, 8,
-                     deterministic=False)
-        assert (jax.tree_util.tree_structure(va)
-                == jax.tree_util.tree_structure(vb))
-        for a, b in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-    def test_resolver_auto_is_xla_until_kernel_wins(self):
-        # 'auto' resolves to xla everywhere: the v1 fused stem measured
-        # 12x slower than the XLA stem on chip (see ops/policy.py
-        # resolve_stem) — explicit 'pallas' stays available.
+    def test_resolver_auto_is_xla(self):
         from av_separation_tpu.ops import policy
         assert policy.resolve_stem("auto", 32, 32) == "xla"
         with policy.target_platform("tpu"):
             assert policy.resolve_stem("auto", 32, 32) == "xla"
-        assert policy.resolve_stem("pallas", 32, 32) == "pallas"
+        assert policy.resolve_stem("s2d", 32, 32) == "s2d"
+
+    def test_pallas_stem_removed(self):
+        from av_separation_tpu.ops import policy
+        with pytest.raises(ValueError, match="removed"):
+            policy.resolve_stem("pallas", 32, 32)
 
 
 class TestRegenDropout:

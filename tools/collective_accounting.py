@@ -319,7 +319,20 @@ def main() -> int:
     for n_dev, mesh_kw, dph in _default_meshes(args.config):
         dph = dph or args.devices_per_host
         cfg = get_config(args.config)
-        global_batch = args.batch * n_dev
+        # Weak scaling over the BATCH axes only: 'model' (TP) and 'seq'
+        # devices split one sample's work rather than adding samples, so a
+        # pod provisions global_batch = per_device_batch x (data*fsdp) —
+        # multiplying by ALL devices would hand a TP mesh 4x the
+        # activations a real deployment would give it and overstate its
+        # collective load by the same factor.
+        n_batch_axes = (mesh_kw.get("data", 1) * mesh_kw.get("fsdp", 1)
+                        if mesh_kw else 1)
+        global_batch = args.batch * n_batch_axes
+        # Match the dtype of the measured step time (every sweep row is
+        # bfloat16): lowering at the f32 default would double the
+        # activation-collective payloads relative to the denominator.
+        cfg = dataclasses.replace(
+            cfg, model=cfg.model.replace(compute_dtype="bfloat16"))
         cfg = dataclasses.replace(
             cfg, mesh=MeshConfig(**mesh_kw),
             train=dataclasses.replace(cfg.train, batch_size=global_batch))
@@ -345,15 +358,22 @@ def main() -> int:
         rec = {"mesh": mesh_kw or {"single": 1}, "devices": n_dev,
                "devices_per_host": dph,
                "per_device_batch": args.batch,
+               "global_batch": global_batch,
+               "batch_axes_product": n_batch_axes,
                "collectives": stats,
                "async_start_ops_in_hlo": count_async_starts(hlo)}
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # Analytic prediction.  Per-device compute time is constant under weak
-    # scaling; comm time = wire bytes / link rate + hop-latency term, per
-    # interconnect tier.  Overlap is only credited when the compiled HLO
-    # shows async collective pairs.
+    # Analytic prediction.  Ideal per-step time for a mesh = the measured
+    # single-chip step time scaled by (total batch work) / n_devices:
+    # step_ms * batch_axes / n — for pure DP that is step_ms unchanged;
+    # for TP/seq meshes the devices split ONE data shard's compute, so the
+    # ideal step shrinks and the same comm bytes weigh proportionally
+    # more (honest: TP pays for its latency win with efficiency).  comm =
+    # wire bytes / link rate + hop-latency term, per interconnect tier.
+    # Overlap is only credited when the compiled HLO shows async
+    # collective pairs.
     gate = 0.85
     for rec in records:
         n = rec["devices"]
@@ -362,6 +382,8 @@ def main() -> int:
             rec["predicted_efficiency_overlapped"] = 1.0
             rec["gate_85pct"] = "pass"
             continue
+        ideal_ms = step_ms * rec["batch_axes_product"] / n
+        rec["ideal_step_ms"] = round(ideal_ms, 4)
         ici_b = sum(v["wire_bytes_ici"] for v in rec["collectives"].values())
         dcn_b = sum(v["wire_bytes_dcn"] for v in rec["collectives"].values())
         lat_ms = 1e3 * sum(
@@ -374,7 +396,7 @@ def main() -> int:
         rec["comm_bw_ms"] = round(bw_ms, 4)
         rec["comm_latency_ms"] = round(lat_ms, 4)
         rec["comm_ms_no_overlap"] = round(comm_ms, 4)
-        eff = step_ms / (step_ms + comm_ms)
+        eff = ideal_ms / (ideal_ms + comm_ms)
         rec["predicted_efficiency_no_overlap"] = round(eff, 4)
         if rec["async_start_ops_in_hlo"] > 0:
             # Grad all-reduce overlaps layer-by-layer with the backward
@@ -386,17 +408,33 @@ def main() -> int:
                  for v in rec["collectives"].values()), default=0.0)
             tail_ms = 1e3 * biggest / ICI_BYTES_PER_S + lat_ms
             rec["predicted_efficiency_overlapped"] = round(
-                step_ms / (step_ms + tail_ms), 4)
+                ideal_ms / (ideal_ms + tail_ms), 4)
             head = rec["predicted_efficiency_overlapped"]
         else:
             # No async pairs in this compiled HLO -> no overlap evidence;
             # the conservative no-overlap number is the headline.
             rec["predicted_efficiency_overlapped"] = None
             head = eff
-        rec["gate_85pct"] = "pass" if head >= gate else "FAIL"
+        if rec["batch_axes_product"] == n:
+            rec["gate_85pct"] = "pass" if head >= gate else "FAIL"
+        else:
+            rec["gate_85pct"] = ("n/a (model/seq mesh — splits "
+                                 "single-shard work by design)")
 
-    worst = min((r["predicted_efficiency_no_overlap"] for r in records
-                 if r["devices"] > 1), default=1.0)
+    # The BASELINE >=85% gate is a WEAK-SCALING throughput gate (audio-
+    # seconds/s vs chips): it applies to the DP/FSDP meshes, where ideal
+    # per-chip throughput is constant.  TP/'seq' meshes split ONE data
+    # shard's work — they buy memory headroom / latency at an efficiency
+    # cost by construction, so their (honest, reported) efficiencies are
+    # excluded from the gate verdict but kept per-row above.
+    dp_rows = [r for r in records if r["devices"] > 1
+               and r["batch_axes_product"] == r["devices"]]
+    other_rows = [r for r in records if r["devices"] > 1
+                  and r["batch_axes_product"] != r["devices"]]
+    worst = min((r["predicted_efficiency_no_overlap"] for r in dp_rows),
+                default=1.0)
+    worst_other = min((r["predicted_efficiency_no_overlap"]
+                       for r in other_rows), default=None)
     out = {"config": args.config, "per_device_batch": args.batch,
            "measured_step_ms": round(step_ms, 3),
            "step_ms_provenance": provenance,
@@ -414,7 +452,15 @@ def main() -> int:
                       "overlap credited only when the HLO contains async "
                       "-start/-done pairs; weak scaling"),
            "gate": {"threshold": gate,
+                    "scope": ("weak-scaling DP/FSDP meshes (the BASELINE "
+                              "throughput gate); TP/seq meshes split "
+                              "single-shard work and trade efficiency "
+                              "for memory/latency by design — reported "
+                              "per-row, excluded from this verdict"),
                     "worst_no_overlap_efficiency": round(worst, 4),
+                    "worst_model_or_seq_mesh_efficiency":
+                        (round(worst_other, 4)
+                         if worst_other is not None else None),
                     "verdict": "pass" if worst >= gate else "FAIL"},
            "records": records}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -250,57 +250,39 @@ def check_attention_dropout_bwd():
         record(f"flash_attention dropout bwd d{name}", a, b, r, floor=5e-4)
 
 
-def check_conv_stem():
-    """Fused visual conv stem (train-mode BN) vs exact CPU-f32 reference."""
-    from av_separation_tpu.ops.pallas.conv_stem import fused_visual_stem
+def check_s2d_stem():
+    """s2d stem (space-to-depth restructure, ops/s2d_stem.py) vs the XLA
+    conv emitter, compiled on chip, against the exact CPU-f32 reference —
+    keeps the stem's alternative lowering gated on real hardware even
+    though 'auto' selects the XLA emitter (the measured winner,
+    bench_results/stem_ab.jsonl)."""
+    from av_separation_tpu.ops.s2d_stem import conv3x3s2_s2d
 
     r = np.random.default_rng(0)
     f, hw = 64, 32
     x = jnp.asarray(r.normal(size=(f, hw, hw, 1)).astype(np.float32))
-    params = []
-    for i, (ci, co) in enumerate([(1, 32), (32, 64), (64, 128)]):
-        params += [
-            jnp.asarray(r.normal(size=(3, 3, ci, co)).astype(np.float32)
-                        * 0.2),
-            jnp.asarray(r.normal(size=(co,)).astype(np.float32) * 0.1),
-            jnp.asarray(1.0 + 0.1 * r.normal(size=(co,))
-                        .astype(np.float32)),
-            jnp.asarray(0.1 * r.normal(size=(co,)).astype(np.float32))]
+    w = jnp.asarray(r.normal(size=(3, 3, 1, 32)).astype(np.float32) * 0.2)
 
-    def xla_ref(x, *p):
-        h = x
-        for i in range(3):
-            w, b, ga, be = p[4 * i:4 * i + 4]
-            h = jax.lax.conv_general_dilated(
-                h, w, window_strides=(2, 2), padding=[(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
-            hf = h.astype(jnp.float32)
-            mean = jnp.mean(hf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(hf - mean), axis=(0, 1, 2))
-            inv = jax.lax.rsqrt(var + 1e-5)
-            h = jnp.maximum(((hf - mean) * (inv * ga) + be)
-                            .astype(h.dtype), 0)
-        return jnp.mean(h, axis=(1, 2))
+    def xla_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    ref = on_cpu(xla_ref, x, *params)
-    ours = jax.jit(lambda x, *p: fused_visual_stem(x, *p, 1e-5)[0])(
-        x, *params)
-    xla = jax.jit(xla_ref)(x, *params)
-    record("fused_visual_stem fwd pooled", ours, xla, ref, floor=1e-3)
+    ref = on_cpu(xla_conv, x, w)
+    ours = jax.jit(conv3x3s2_s2d)(x, w)
+    xla = jax.jit(xla_conv)(x, w)
+    record("s2d stem conv fwd", ours, xla, ref, floor=1e-4)
 
-    probe = rand((f, 128), 7)
+    probe = rand((f, 16, 16, 32), 7)
 
-    def grads(fn):
-        return jax.grad(lambda *a: jnp.sum(fn(*a) * probe),
-                        argnums=(1, 5, 9, 3, 7, 11))  # w1,w2,w3,ga1,ga2,ga3
+    def gw(fn):
+        return jax.grad(lambda x, w: jnp.sum(fn(x, w) * probe),
+                        argnums=1)
 
-    gref = on_cpu(grads(xla_ref), x, *params)
-    gp = jax.jit(grads(lambda x, *p: fused_visual_stem(x, *p, 1e-5)[0]))(
-        x, *params)
-    gx = jax.jit(grads(xla_ref))(x, *params)
-    for name, a, b_, r_ in zip(("w1", "w2", "w3", "ga1", "ga2", "ga3"),
-                               gp, gx, gref):
-        record(f"fused_visual_stem bwd d{name}", a, b_, r_, floor=1e-2)
+    gref = on_cpu(gw(xla_conv), x, w)
+    gp = jax.jit(gw(conv3x3s2_s2d))(x, w)
+    gx = jax.jit(gw(xla_conv))(x, w)
+    record("s2d stem conv bwd dw", gp, gx, gref, floor=1e-3)
 
 
 def check_train_step_loss():
@@ -371,7 +353,7 @@ def main():
     check_decoder()
     check_stft()
     check_audio_proj()
-    check_conv_stem()
+    check_s2d_stem()
     check_train_step_loss()
 
     n_fail = sum(not r["pass"] for r in RESULTS)
