@@ -72,6 +72,10 @@ def conv3x3s2_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     x: (B, H, W, C_in) NHWC, H and W even; w: (3, 3, C_in, C_out) HWIO.
     Returns (B, H/2, W/2, C_out).
     """
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        raise ValueError(
+            f"s2d stem requires even spatial dims, got {x.shape[1:3]} — "
+            "use stem_impl='xla' for odd frame geometries")
     xs = space_to_depth(x)
     w2 = expand_weight_s2d(w)
     return lax.conv_general_dilated(
