@@ -27,6 +27,25 @@ from av_separation_tpu.config import DataConfig
 from av_separation_tpu.ops.stft import stft_magnitude
 
 
+def _sine_factor_split(n: int) -> int:
+    """Largest-divisor-near-sqrt split for the outer-product sine bank:
+    returns L (inner length) such that L divides n and A+L is minimal with
+    A = n//L.  Returns 0 when n has no useful split (prime / tiny)."""
+    best, best_cost = 0, (n + 2, True, 0)
+    i = 1
+    while i * i <= n:
+        if n % i == 0:
+            for L in (i, n // i):
+                a = n // L
+                # tie-break toward a lane-multiple inner length, then the
+                # larger L (better VPU lane utilization of the (A, L) tile)
+                cost = (a + L, L % 128 != 0, -L)
+                if 1 < L < n and cost < best_cost:
+                    best, best_cost = L, cost
+        i += 1
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "batch_size",
                                              "stft_impl"))
 def generate_batch(key: jax.Array, cfg: DataConfig, batch_size: int,
@@ -35,6 +54,16 @@ def generate_batch(key: jax.Array, cfg: DataConfig, batch_size: int,
 
     Returns mixed_spec (B,F,T), lip_frames (B,S*nf,H,W),
     clean_specs (B,S,F,T) — same contract as the host dataset.
+
+    The sine bank uses the angle-addition outer product
+    sin(w*(a*L+b)*dt + phi) = sin(w*L*dt*a + phi)cos(w*dt*b)
+                            + cos(w*L*dt*a + phi)sin(w*dt*b)
+    so an N-sample tone costs ~2*(A+L) transcendentals (A=N/L) plus VPU
+    mul-adds instead of N sin() calls.  On v5e the direct form was 3.8
+    ms/step of the scaled train step (sin evaluated twice by XLA fusion
+    duplication: fusion.4988 + sine_multiply_fusion in the r5 trace);
+    the identity is exact up to f32 rounding at the same argument
+    magnitudes, so the emitted distribution is unchanged.
     """
     s = cfg.num_speakers
     n = cfg.num_samples_audio
@@ -48,14 +77,27 @@ def generate_batch(key: jax.Array, cfg: DataConfig, batch_size: int,
                                minval=0.0, maxval=2.0 * np.pi)
     freqs = jnp.asarray(cfg.speaker_freqs)[None, :] * jitter  # (B, S)
 
-    t_axis = jnp.asarray(
-        np.linspace(0.0, cfg.duration, n, endpoint=False, dtype=np.float64)
-        .astype(np.float32))
-    # (B, S, N) sine "speech"
-    clean = (amps[..., None]
-             * jnp.sin(2.0 * np.pi * freqs[..., None] * t_axis
-                       + phase[..., None])).astype(jnp.float32)
-    mixed = jnp.sum(clean, axis=1)
+    dt = cfg.duration / n
+    L = _sine_factor_split(n)
+    if L:
+        a_idx = jnp.arange(n // L, dtype=jnp.float32) * float(L)
+        b_idx = jnp.arange(L, dtype=jnp.float32)
+        w = (2.0 * np.pi * dt) * freqs                       # (B, S) rad/sample
+        th_a = w[..., None] * a_idx + phase[..., None]       # (B, S, A)
+        th_b = w[..., None] * b_idx                          # (B, S, L)
+        sa, ca = jnp.sin(th_a), jnp.cos(th_a)
+        sb, cb = jnp.sin(th_b), jnp.cos(th_b)
+        clean = (amps[..., None, None]
+                 * (sa[..., :, None] * cb[..., None, :]
+                    + ca[..., :, None] * sb[..., None, :])
+                 ).astype(jnp.float32).reshape(batch_size, s, n)
+    else:
+        t_axis = jnp.asarray(
+            np.linspace(0.0, cfg.duration, n, endpoint=False,
+                        dtype=np.float64).astype(np.float32))
+        clean = (amps[..., None]
+                 * jnp.sin(2.0 * np.pi * freqs[..., None] * t_axis
+                           + phase[..., None])).astype(jnp.float32)
 
     if stft_impl == "pallas":
         from av_separation_tpu.ops.pallas.stft import stft_magnitude_pallas
@@ -64,8 +106,12 @@ def generate_batch(key: jax.Array, cfg: DataConfig, batch_size: int,
     else:
         stft = lambda a: stft_magnitude(
             a, cfg.n_fft, cfg.hop_length, cfg.num_stft_frames)
-    mixed_spec = stft(mixed)
-    clean_specs = stft(clean)
+    # One stacked STFT for [mixed; clean]: a single framing + one batched
+    # DFT matmul instead of two disjoint dispatch chains.
+    mixed = jnp.sum(clean, axis=1, keepdims=True)             # (B, 1, N)
+    specs = stft(jnp.concatenate([mixed, clean], axis=1))     # (B, 1+S, F, T)
+    mixed_spec = specs[:, 0]
+    clean_specs = specs[:, 1:]
 
     # Lip frames: per-video-frame mean-square energy of each speaker.
     step = n // nf

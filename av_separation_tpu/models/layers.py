@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from av_separation_tpu.ops.activations import relu as relu_saveout
+from av_separation_tpu.ops.activations import relu_dropout
 from av_separation_tpu.ops.attention import multi_head_attention
 from av_separation_tpu.ops.dropout import Dropout as FastDropout
 
@@ -234,8 +236,12 @@ class TransformerEncoderLayer(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x)
         h = dense(4 * d, d, "linear1", self.dtype)(h)
-        h = nn.relu(h)
-        h = drop("drop_ff")(h, deterministic=deterministic)
+        # Fused relu+dropout: one (B, T, 4d) residual instead of two
+        # (ops/activations.py) — same 'dropout' rng collection draw order
+        # as the unfused FastDropout("drop_ff") it replaces.
+        rate = 0.0 if deterministic else self.dropout
+        rng = self.make_rng("dropout") if rate > 0.0 else None
+        h = relu_dropout(h, rate, rng)
         h = dense(d, 4 * d, "linear2", self.dtype)(h)
         x = x + drop("drop2")(h, deterministic=deterministic)
         return x

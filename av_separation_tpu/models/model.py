@@ -22,6 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from av_separation_tpu.ops.activations import gelu_dropout
+from av_separation_tpu.ops.activations import relu as relu_saveout
 from av_separation_tpu.config import ModelConfig
 from av_separation_tpu.models.layers import (
     MultiHeadAttention,
@@ -122,7 +124,7 @@ class AudioEncoder(nn.Module):
                     h, w.astype(h.dtype), window_strides=(1,),
                     padding=[(1, 1)],
                     dimension_numbers=("NWC", "WIO", "NWC"))
-                h = nn.relu(h + bias.astype(h.dtype))
+                h = relu_saveout(h + bias.astype(h.dtype))
         h = _seq_constraint(h, 1)
         h = PositionalEncoding(cfg.d_model, cfg.dropout, name="pos_enc")(
             h, deterministic=deterministic)
@@ -192,7 +194,7 @@ class VisualEncoder(nn.Module):
                 x = conv3x3s2_s2d(x, w) + cb
                 x = TorchBatchNorm(co, name=f"bn{i + 1}")(
                     x, use_running_average=deterministic)
-                x = nn.relu(x)
+                x = relu_saveout(x)
             x = jnp.mean(x, axis=(1, 2))
         else:
             for i, ch in enumerate((32, 64, 128)):
@@ -200,7 +202,7 @@ class VisualEncoder(nn.Module):
                           f"conv{i + 1}", _cdt(cfg))(x)
                 x = TorchBatchNorm(ch, name=f"bn{i + 1}")(
                     x, use_running_average=deterministic)
-                x = nn.relu(x)
+                x = relu_saveout(x)
             x = jnp.mean(x, axis=(1, 2))  # global avg pool -> (B*N, 128)
         x = dense(cfg.d_model, 128, "frame_proj", _cdt(cfg))(x)
         x = x.reshape(b, n, cfg.d_model)
@@ -237,8 +239,12 @@ class CrossAttentionLayer(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=dt)(audio)
         h = dense(4 * cfg.d_model, cfg.d_model, "ff1", dt)(h)
-        h = nn.gelu(h, approximate=False)
-        h = drop("drop_ff")(h, deterministic=deterministic)
+        # Fused gelu+dropout: saves the pre-activation only and recomputes
+        # the erf GELU + uint8 keep mask in backward (ops/activations.py) —
+        # same rng draw order as the unfused gelu + FastDropout("drop_ff").
+        rate = 0.0 if deterministic else cfg.dropout
+        ff_rng = self.make_rng("dropout") if rate > 0.0 else None
+        h = gelu_dropout(h, rate, ff_rng)
         h = dense(cfg.d_model, 4 * cfg.d_model, "ff2", dt)(h)
         audio = audio + drop("drop2")(h, deterministic=deterministic)
         return audio

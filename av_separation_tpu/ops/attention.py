@@ -210,6 +210,30 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Projected-QKV multi-head attention on (B, T, d) tensors."""
     impl = policy.resolve_attention(impl, q.shape[1], k.shape[1])
+    mesh_packed = policy.active_mesh()
+    if impl == "pallas" and (
+            mesh_packed is None
+            or policy.mesh_axis_size(mesh_packed, "data", "fsdp", "model",
+                                     "seq") == 1):
+        # Packed-layout fast path: the kernel reads (B, T, H*dh) head
+        # slices directly — no split_heads/merge_heads relayout in either
+        # direction (measured 1.8 ms/step of concatenates on the scaled
+        # config).  Returns None when dh isn't a lane multiple or the
+        # sequence needs the multi-block grid kernel.
+        from av_separation_tpu.ops.pallas.attention import (
+            flash_attention_packed_qkv)
+        seed = None
+        rate = dropout_rate
+        if rate > 0.0 and dropout_rng is not None:
+            seed = jax.random.bits(dropout_rng, (1,), "uint32") \
+                .astype(jnp.int32)
+        else:
+            rate = 0.0
+        out_packed = flash_attention_packed_qkv(q, k, v, nhead,
+                                                dropout_rate=rate,
+                                                dropout_seed=seed)
+        if out_packed is not None:
+            return out_packed
     qh, kh, vh = (split_heads(x, nhead) for x in (q, k, v))
     mesh_for_seq = policy.active_mesh()
     if (mesh_for_seq is not None

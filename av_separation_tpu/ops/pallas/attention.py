@@ -343,6 +343,227 @@ _flash_packed.defvjp(_flash_packed_fwd_rule, _flash_packed_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# Packed-LAYOUT single-block path: q/k/v stay (B, T, H*dh)
+# ---------------------------------------------------------------------------
+#
+# `split_heads` ((B, T, D) -> (B, H, T, dh)) is a real relayout on TPU: XLA
+# lowers the transpose to H per-head slices concatenated along the sequence
+# axis — measured 1.8 ms/step of the scaled config (40 concatenates of
+# bf16[32, 2004, 128] in the r5 step trace), plus the mirrored copies in
+# backward.  When dh is a lane multiple (every config that resolves to the
+# flash kernel ships dh=128), the kernel can read head h's columns
+# [h*dh:(h+1)*dh] DIRECTLY from the packed (B, T, H*dh) array: blocks carry
+# hp adjacent heads ((1, T, hp*dh)), and in-kernel static lane slices at
+# 128 alignment are free.  dQ/dK/dV come back packed too, flowing straight
+# into the projection backward with no un-transpose.  Math, seeding and the
+# dropout mask stream are identical to the head-packed path above (the
+# PRNG tile index is the same global b*H+h).
+
+def _pick_heads_hpacked(nh: int, bq: int, bk: int, dh: int,
+                        itemsize: int) -> int:
+    """Largest hp in {8,4,2,1} dividing nhead whose packed-layout backward
+    fits VMEM: 8 planes of (block, hp*dh) + 3 f32 (bq, bk) transients."""
+    for hp in (8, 4, 2, 1):
+        if nh % hp:
+            continue
+        need = 8 * max(bq, bk) * hp * dh * itemsize + 3 * bq * bk * 4
+        if need <= PACKED_VMEM_BUDGET:
+            return hp
+    return 1
+
+
+def _fwd_hpacked_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                        *, scale: float, tk: int, block_k: int, rate: float,
+                        hw: bool, hp: int, dh: int, nh: int):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    for h in range(hp):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if tk % block_k != 0:
+            s = _tail_mask(s, 0, tk, block_k)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref, b * nh + g * hp + h, jnp.int32(0),
+                              jnp.int32(0), p.shape, rate, hw)
+            p = jnp.where(keep, p, 0.0)
+        out = jnp.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (out / (l * (1.0 - rate))).astype(o_ref.dtype)
+        lse = m + jnp.log(l)
+        lse_ref[0, h * 8:(h + 1) * 8, :] = jnp.broadcast_to(
+            lse.reshape(1, -1), (8, lse_ref.shape[2]))
+
+
+def _bwd_hpacked_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                        lse_ref, dq_ref, dk_ref, dv_ref,
+                        *, scale: float, tk: int, block_k: int, rate: float,
+                        hw: bool, hp: int, dh: int, nh: int):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    for h in range(hp):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]
+        o = o_ref[0, :, sl]
+        lse = lse_ref[0, h * 8:h * 8 + 1, :].reshape(-1, 1)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if tk % block_k != 0:
+            s = _tail_mask(s, 0, tk, block_k)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref, b * nh + g * hp + h, jnp.int32(0),
+                              jnp.int32(0), p.shape, rate, hw)
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        ds = p * (dp - delta) * scale
+        dq_ref[0, :, sl] = jnp.dot(
+            ds.astype(k.dtype), k,
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _hpacked_specs(bq, bk, width, hp, nh):
+    qspec = pl.BlockSpec((1, bq, width), lambda b, g: (b, 0, g),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, bk, width), lambda b, g: (b, 0, g),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, hp * 8, bq), lambda b, g: (b, g, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec, lspec
+
+
+def _flash_hpacked_call(q, k, v, seed, scale, true_tk, rate, hw, hp, nh):
+    b, tq, dm = q.shape
+    bk = k.shape[1]
+    dh = dm // nh
+    width = hp * dh
+    qspec, kspec, lspec = _hpacked_specs(tq, bk, width, hp, nh)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_hpacked_kernel, scale=scale, tk=true_tk,
+                          block_k=bk, rate=rate, hw=hw, hp=hp, dh=dh,
+                          nh=nh),
+        grid=(b, nh // hp),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  qspec, kspec, kspec],
+        out_specs=[qspec, lspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq, dm), q.dtype),
+            jax.ShapeDtypeStruct((b, nh * 8, tq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(seed, q, k, v)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_hpacked(q, k, v, seed, scale: float, true_tk: int, rate: float,
+                   hw: bool, hp: int, nh: int):
+    out, _ = _flash_hpacked_call(q, k, v, seed, scale, true_tk, rate, hw,
+                                 hp, nh)
+    return out
+
+
+def _flash_hpacked_fwd_rule(q, k, v, seed, scale, true_tk, rate, hw, hp,
+                            nh):
+    out, lse = _flash_hpacked_call(q, k, v, seed, scale, true_tk, rate, hw,
+                                   hp, nh)
+    return out, (q, k, v, seed, out, lse)
+
+
+def _flash_hpacked_bwd_rule(scale, true_tk, rate, hw, hp, nh, res, g):
+    q, k, v, seed, out, lse = res
+    b, tq, dm = q.shape
+    bk = k.shape[1]
+    dh = dm // nh
+    width = hp * dh
+    qspec, kspec, lspec = _hpacked_specs(tq, bk, width, hp, nh)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_hpacked_kernel, scale=scale, tk=true_tk,
+                          block_k=bk, rate=rate, hw=hw, hp=hp, dh=dh,
+                          nh=nh),
+        grid=(b, nh // hp),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  qspec, kspec, kspec, qspec, qspec, lspec],
+        out_specs=[qspec, kspec, kspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq, dm), q.dtype),
+            jax.ShapeDtypeStruct((b, bk, dm), k.dtype),
+            jax.ShapeDtypeStruct((b, bk, dm), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(seed, q, k, v, g, out, lse)
+    return dq, dk, dv, jnp.zeros_like(seed)
+
+
+_flash_hpacked.defvjp(_flash_hpacked_fwd_rule, _flash_hpacked_bwd_rule)
+
+
+def flash_attention_packed_qkv(q: jnp.ndarray, k: jnp.ndarray,
+                               v: jnp.ndarray, nhead: int,
+                               dropout_rate: float = 0.0,
+                               dropout_seed: jnp.ndarray | None = None
+                               ) -> jnp.ndarray | None:
+    """Flash attention on PACKED (B, T, H*dh) q/k/v — no head transpose.
+
+    Applies when dh is a lane multiple (dh % 128 == 0) and the whole
+    (padded) sequence fits a single block pair (T <= 512, same condition
+    as the head-packed path).  Returns None when the layout doesn't
+    qualify — the caller falls back to split_heads + `flash_attention`.
+    Numerics and dropout mask stream match `flash_attention` bit-for-bit
+    (same math, same per-(b*H+h) tile seeding).
+    """
+    b, tq, dm = q.shape
+    tk = k.shape[1]
+    if dm % nhead:
+        return None
+    dh = dm // nhead
+    if dh % 128:
+        return None
+    bq = _cdiv(tq, 16) * 16
+    bk = _cdiv(tk, 128) * 128
+    if bq > DEFAULT_BLOCK_Q or bk > DEFAULT_BLOCK_K:
+        return None  # multi-block sequence: use the grid kernel
+    scale = 1.0 / (dh ** 0.5)
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
+    qf = _pad_to(q, 1, bq)
+    kf = _pad_to(k, 1, bk)
+    vf = _pad_to(v, 1, bk)
+    hw = rate > 0.0 and not _interpret_active()
+    seed = dropout_seed.astype(jnp.int32).reshape(1)
+    hp = _pick_heads_hpacked(nhead, qf.shape[1], kf.shape[1], dh,
+                             qf.dtype.itemsize)
+    out = _flash_hpacked(qf, kf, vf, seed, scale, tk, rate, hw, hp, nhead)
+    return out[:, :tq, :]
+
+
+# ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 

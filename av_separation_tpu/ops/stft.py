@@ -61,10 +61,28 @@ def frame_signal(audio: jnp.ndarray, n_fft: int, hop: int, num_frames: int):
     zero-padded past the end (reference dataset.py:126-133 framing rule).
 
     audio: (..., N) -> frames: (..., num_frames, n_fft)
+
+    When hop divides n_fft (the shipped configs: 512/128), frame i is the
+    concatenation of n_fft//hop consecutive hop-sized chunks starting at
+    chunk i — so framing is r shifted reshapes of the padded signal glued
+    on the last axis.  That lowers to slices + a bitcast-concat instead of
+    a (num_frames*n_fft)-index gather, which on v5e was measured 6x off
+    memory bandwidth for the scaled config (fusion.5054 in the r5 step
+    trace: 0.98 ms against a ~0.16 ms traffic floor).  Values are
+    IDENTICAL to the gather formulation.
     """
     n_audio = audio.shape[-1]
     pad = max(0, (num_frames - 1) * hop + n_fft - n_audio)
     padded = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        lead = audio.shape[:-1]
+        segs = [
+            padded[..., j * hop:(j + num_frames) * hop]
+            .reshape(*lead, num_frames, hop)
+            for j in range(r)
+        ]
+        return jnp.concatenate(segs, axis=-1)
     idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
     return padded[..., idx]
 
