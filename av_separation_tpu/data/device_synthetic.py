@@ -105,7 +105,8 @@ def generate_batch(key: jax.Array, cfg: DataConfig, batch_size: int,
             a, cfg.n_fft, cfg.hop_length, cfg.num_stft_frames)
     else:
         stft = lambda a: stft_magnitude(
-            a, cfg.n_fft, cfg.hop_length, cfg.num_stft_frames)
+            a, cfg.n_fft, cfg.hop_length, cfg.num_stft_frames,
+            precision=jax.lax.Precision.HIGH)
     # One stacked STFT for [mixed; clean]: a single framing + one batched
     # DFT matmul instead of two disjoint dispatch chains.
     mixed = jnp.sum(clean, axis=1, keepdims=True)             # (B, 1, N)

@@ -89,10 +89,18 @@ def frame_signal(audio: jnp.ndarray, n_fft: int, hop: int, num_frames: int):
 
 def stft_magnitude(audio: jnp.ndarray, n_fft: int, hop: int,
                    num_frames: int | None = None,
-                   dtype=jnp.float32) -> jnp.ndarray:
+                   dtype=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """STFT magnitude with the reference's exact framing/window semantics.
 
     audio: (..., N) float -> (..., freq_bins, T) float, T = 1 + N // hop.
+
+    `precision` prices the DFT matmul: the default HIGHEST (6-pass bf16
+    emulation of f32) keeps spectra near the reference's float64 rfft and
+    is right for parity paths that run once per utterance; the on-device
+    training data generator passes HIGH (3-pass, ~1e-6 rel error) because
+    the DFT was 1.1 ms of every scaled train step at HIGHEST — half of
+    that is pure emulation passes beyond f32-level accuracy.
     """
     if num_frames is None:
         num_frames = 1 + audio.shape[-1] // hop
@@ -100,15 +108,13 @@ def stft_magnitude(audio: jnp.ndarray, n_fft: int, hop: int,
     cos_np, sin_np = dft_basis(n_fft)
     cos_b = jnp.asarray(cos_np, dtype)
     sin_b = jnp.asarray(sin_np, dtype)
-    # Batched (..., T, n_fft) @ (n_fft, F) — lands on the MXU.  HIGHEST
-    # precision: runs once per utterance; keeps spectra near the reference's
-    # float64 rfft.
+    # Batched (..., T, n_fft) @ (n_fft, F) — lands on the MXU.
     re = jnp.einsum("...tn,nf->...tf", frames, cos_b,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     im = jnp.einsum("...tn,nf->...tf", frames, sin_b,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     mag = jnp.sqrt(re * re + im * im)
     # (..., T, F) -> (..., F, T) to match the reference layout.
     return jnp.swapaxes(mag, -1, -2).astype(dtype)
