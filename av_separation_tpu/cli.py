@@ -482,6 +482,37 @@ def cmd_separate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Micro-batching HTTP separation server (serving.py): coalesces
+    concurrent POST /separate requests into batched device dispatches."""
+    _force_cpu_if(args)
+    import jax
+    import jax.numpy as jnp
+
+    from av_separation_tpu.inference import Separator
+    from av_separation_tpu.models.model import AVSeparationTransformer
+    from av_separation_tpu.serving import serve_forever
+
+    cfg = _build_config(args)
+    if cfg.train.checkpoint_dir:
+        sep = Separator.from_checkpoint(cfg.train.checkpoint_dir, cfg.model,
+                                        cfg.data)
+    else:
+        model = AVSeparationTransformer(cfg.model)
+        d = cfg.data
+        variables = model.init(
+            jax.random.PRNGKey(cfg.train.seed),
+            jnp.zeros((1, d.freq_bins, d.num_stft_frames)),
+            jnp.zeros((1, d.total_lip_frames, d.frame_h, d.frame_w)))
+        sep = Separator(cfg.model, dict(variables), cfg.data)
+        print("serve: no --checkpoint-dir, serving untrained init",
+              file=sys.stderr)
+    serve_forever(sep, host=args.serve_host, port=args.serve_port,
+                  max_batch=args.serve_max_batch,
+                  max_delay_ms=args.serve_max_delay_ms)
+    return 0
+
+
 def cmd_bench(args) -> int:
     _force_cpu_if(args)
     import subprocess
@@ -511,9 +542,15 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="avsep")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in (("train", cmd_train), ("eval", cmd_eval),
-                     ("separate", cmd_separate), ("bench", cmd_bench)):
+                     ("separate", cmd_separate), ("bench", cmd_bench),
+                     ("serve", cmd_serve)):
         p = sub.add_parser(name)
         _add_common(p)
+        if name == "serve":
+            p.add_argument("--serve-host", default="0.0.0.0")
+            p.add_argument("--serve-port", type=int, default=8571)
+            p.add_argument("--serve-max-batch", type=int, default=32)
+            p.add_argument("--serve-max-delay-ms", type=float, default=5.0)
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)

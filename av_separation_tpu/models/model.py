@@ -317,10 +317,13 @@ class SeparationDecoder(nn.Module):
                 cfg.num_speakers, cfg.freq_bins)
             return separated, masks
 
-        from av_separation_tpu.ops.dropout import Dropout as FastDropout
         h = jnp.einsum("btd,dh->bth", fused, w1) + b1
-        h = nn.gelu(h, approximate=False)
-        h = FastDropout(cfg.dropout, name="drop")(h, deterministic=deterministic)
+        # Fused gelu+dropout (ops/activations.py): one residual tensor,
+        # erf+mask recomputed in backward — same draw position as the
+        # unfused FastDropout("drop") it replaces.
+        rate = 0.0 if deterministic else cfg.dropout
+        rng = self.make_rng("dropout") if rate > 0.0 else None
+        h = gelu_dropout(h, rate, rng)
         h = jnp.einsum("bth,ho->bto", h, w2) + b2
         masks = h.reshape(b, t, cfg.num_speakers, cfg.freq_bins)
         masks = masks.transpose(0, 2, 3, 1)  # (B, S, F, T)

@@ -139,6 +139,62 @@ def _flash_sharded(qh, kh, vh, mesh, dropout_rate: float,
                          check_vma=False)(qh, kh, vh, seed)
 
 
+def _flash_sharded_packed(q, k, v, nhead: int, mesh, dropout_rate: float,
+                          seed: Optional[jnp.ndarray]):
+    """Packed-LAYOUT flash under a sharded mesh: q/k/v stay (B, T, H*dh).
+
+    TP shards the LAST axis — heads are contiguous 128-lane column blocks,
+    so a 'model'-axis shard of H*dh columns is exactly H/model whole heads
+    and each device runs the packed kernel on its local head group with no
+    relayout.  Batch shards over ('data','fsdp') as in `_flash_sharded`.
+    Returns None when the mesh cannot divide batch/heads or the shapes
+    need the (B, H, T, dh) grid kernel — caller falls back.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from av_separation_tpu.ops.pallas.attention import (
+        DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, _cdiv, flash_attention_packed_qkv)
+
+    b, tq, dm = q.shape
+    tk = k.shape[1]
+    if dm % nhead or (dm // nhead) % 128:
+        return None
+    if _cdiv(tq, 16) * 16 > DEFAULT_BLOCK_Q \
+            or _cdiv(tk, 128) * 128 > DEFAULT_BLOCK_K:
+        return None  # multi-block sequence: use the grid kernel path
+    data_axes = tuple(a for a in ("data", "fsdp")
+                      if policy.mesh_axis_size(mesh, a) > 1)
+    model_sz = policy.mesh_axis_size(mesh, "model")
+    if b % max(policy.mesh_axis_size(mesh, *data_axes), 1) != 0:
+        return None
+    if model_sz > 1 and nhead % model_sz != 0:
+        return None
+    spec = P(data_axes if data_axes else None, None,
+             "model" if model_sz > 1 else None)
+    rate = float(dropout_rate)
+    nh_local = nhead // max(model_sz, 1)
+
+    def local(q_blk, k_blk, v_blk, seed_blk):
+        if rate > 0.0:
+            pos = jnp.zeros((), jnp.int32)
+            for ax in (*data_axes, *(("model",) if model_sz > 1 else ())):
+                pos = pos * jnp.int32(mesh.shape[ax]) \
+                    + jax.lax.axis_index(ax)
+            seed_local = seed_blk + pos * jnp.int32(0x9E3779B1 - (1 << 32))
+        else:
+            seed_local = seed_blk
+        return flash_attention_packed_qkv(q_blk, k_blk, v_blk, nh_local,
+                                          dropout_rate=rate,
+                                          dropout_seed=seed_local)
+
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(spec, spec, spec, P()),
+                         out_specs=spec,
+                         check_vma=False)(q, k, v, seed)
+
+
 def _attn_seq_sharded(qh, kh, vh, mesh, impl: str, dropout_rate: float,
                       dropout_rng, seed):
     """Sequence-parallel attention over the 'seq' mesh axis via shard_map.
@@ -213,15 +269,14 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     mesh_packed = policy.active_mesh()
     if impl == "pallas" and (
             mesh_packed is None
-            or policy.mesh_axis_size(mesh_packed, "data", "fsdp", "model",
-                                     "seq") == 1):
+            or policy.mesh_axis_size(mesh_packed, "seq") == 1):
         # Packed-layout fast path: the kernel reads (B, T, H*dh) head
         # slices directly — no split_heads/merge_heads relayout in either
         # direction (measured 1.8 ms/step of concatenates on the scaled
-        # config).  Returns None when dh isn't a lane multiple or the
-        # sequence needs the multi-block grid kernel.
-        from av_separation_tpu.ops.pallas.attention import (
-            flash_attention_packed_qkv)
+        # config).  Under a data/fsdp/model mesh the same layout runs
+        # through shard_map with the TP axis sharding whole head groups
+        # along the packed last dim.  Returns None when dh isn't a lane
+        # multiple or the sequence needs the multi-block grid kernel.
         seed = None
         rate = dropout_rate
         if rate > 0.0 and dropout_rng is not None:
@@ -229,9 +284,16 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 .astype(jnp.int32)
         else:
             rate = 0.0
-        out_packed = flash_attention_packed_qkv(q, k, v, nhead,
-                                                dropout_rate=rate,
-                                                dropout_seed=seed)
+        if mesh_packed is not None and policy.mesh_axis_size(
+                mesh_packed, "data", "fsdp", "model") > 1:
+            out_packed = _flash_sharded_packed(q, k, v, nhead, mesh_packed,
+                                               rate, seed)
+        else:
+            from av_separation_tpu.ops.pallas.attention import (
+                flash_attention_packed_qkv)
+            out_packed = flash_attention_packed_qkv(q, k, v, nhead,
+                                                    dropout_rate=rate,
+                                                    dropout_seed=seed)
         if out_packed is not None:
             return out_packed
     qh, kh, vh = (split_heads(x, nhead) for x in (q, k, v))

@@ -89,6 +89,26 @@ class TestPackedLayoutFlash:
         q = rand((2, 63, 128), 0)  # demo: dh=32 — not a lane multiple
         assert flash_attention_packed_qkv(q, q, q, 4) is None
 
+    def test_sharded_packed_matches_unsharded(self):
+        """TP shards whole head groups along the packed last dim
+        (ops/attention.py `_flash_sharded_packed`): a data=2 x model=2
+        mesh must reproduce the single-device result."""
+        from av_separation_tpu.config import MeshConfig
+        from av_separation_tpu.ops import policy
+        from av_separation_tpu.ops.attention import multi_head_attention
+        from av_separation_tpu.parallel.mesh import make_mesh
+        nh, dh = 4, 128
+        q = rand((4, 96, nh * dh), 0)
+        k = rand((4, 80, nh * dh), 1)
+        v = rand((4, 80, nh * dh), 2)
+        mesh = make_mesh(MeshConfig(data=2, model=2))
+        with pltpu.force_tpu_interpret_mode():
+            ref = multi_head_attention(q, k, v, nh, impl="pallas")
+            with policy.use_mesh(mesh), mesh:
+                sharded = multi_head_attention(q, k, v, nh, impl="pallas")
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
 
 class TestFusedActivationDropout:
     def test_relu_dropout_matches_unfused(self):

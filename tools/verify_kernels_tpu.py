@@ -102,6 +102,42 @@ def check_attention():
         record(f"flash_attention bwd d{name}", a, b, r, floor=5e-4)
 
 
+def check_attention_packed_layout():
+    """Packed-LAYOUT path ((B, T, H*dh) in/out, no head transpose) compiled
+    on chip, fwd + bwd, vs the same math through split_heads."""
+    from av_separation_tpu.ops.attention import (attention_xla, merge_heads,
+                                                 split_heads)
+    from av_separation_tpu.ops.pallas.attention import (
+        flash_attention_packed_qkv)
+    nh, dh = 4, 128
+    q, k, v = (rand((2, t, nh * dh), i) for i, t in
+               enumerate((501, 100, 100)))
+
+    def ref_fn(q, k, v):
+        qh, kh, vh = (split_heads(x, nh) for x in (q, k, v))
+        return merge_heads(attention_xla(qh, kh, vh))
+
+    ref = on_cpu(ref_fn, q, k, v)
+    ours = jax.jit(lambda q, k, v:
+                   flash_attention_packed_qkv(q, k, v, nh))(q, k, v)
+    xla = jax.jit(ref_fn)(q, k, v)
+    record("flash packed-layout fwd tq=501 tk=100", ours, xla, ref,
+           floor=1e-4)
+
+    g = rand((2, 501, nh * dh), 3)
+
+    def grads(attn):
+        return jax.grad(lambda *a: jnp.vdot(attn(*a), g),
+                        argnums=(0, 1, 2))
+
+    gref = on_cpu(grads(ref_fn), q, k, v)
+    gp = jax.jit(grads(lambda q, k, v:
+                       flash_attention_packed_qkv(q, k, v, nh)))(q, k, v)
+    gx = jax.jit(grads(ref_fn))(q, k, v)
+    for name, a, b, r in zip("qkv", gp, gx, gref):
+        record(f"flash packed-layout bwd d{name}", a, b, r, floor=5e-4)
+
+
 def check_decoder():
     from av_separation_tpu.ops.pallas.decoder import fused_mask_decoder
 
@@ -349,6 +385,7 @@ def main():
     backend = jax.default_backend()
     print(f"backend={backend} devices={jax.devices()}", flush=True)
     check_attention()
+    check_attention_packed_layout()
     check_attention_dropout_bwd()
     check_decoder()
     check_stft()
