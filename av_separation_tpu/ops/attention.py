@@ -81,10 +81,11 @@ def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def resolve_attn_impl(impl: str, tq: int, tk: int) -> str:
+def resolve_attn_impl(impl: str, tq: int, tk: int,
+                      d_head: Optional[int] = None) -> str:
     """Resolve an attention impl selector at trace time (see ops/policy.py,
-    the single owner of the measured AUTO_MIN_SCORE_ELEMS crossover)."""
-    return policy.resolve_attention(impl, tq, tk)
+    the single owner of the measured crossovers)."""
+    return policy.resolve_attention(impl, tq, tk, d_head)
 
 
 def _flash_sharded(qh, kh, vh, mesh, dropout_rate: float,
@@ -265,7 +266,8 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          dropout_rate: float = 0.0,
                          dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Projected-QKV multi-head attention on (B, T, d) tensors."""
-    impl = policy.resolve_attention(impl, q.shape[1], k.shape[1])
+    impl = policy.resolve_attention(impl, q.shape[1], k.shape[1],
+                                    q.shape[-1] // nhead)
     mesh_packed = policy.active_mesh()
     if impl == "pallas" and (
             mesh_packed is None

@@ -57,6 +57,21 @@ _logger = logging.getLogger(__name__)
 # {config: demo, impl: auto vs xla}.
 AUTO_MIN_SCORE_ELEMS = 256 * 256
 
+# When the head dim is a full lane multiple the packed-LAYOUT flash path
+# (no split_heads relayout, one fused backward kernel) wins at a much
+# SMALLER score matrix than the glue-heavy (B, H, T, dh) path the original
+# crossover was measured against.  Interleaved official-bench A/B on v5e
+# (3 rounds each, <0.1% spread):
+#   scaled with the T=100 visual self-attention + (501, 100) fusion
+#   cross-attention flipped to packed flash: 2567 vs 2431 audio-s/s (+5.6%)
+#   three_speaker, T=63 audio self-attention flipped: 3763 vs 3960 (-5%)
+# So packed flash wins at Tq*Tk >= 100*100 and loses at 63*63; the
+# crossover is pinned at the measured winning bracket.  The
+# dh % 128 != 0 case (demo: dh=32) has no packed path and keeps the
+# original AUTO_MIN_SCORE_ELEMS crossover.
+PACKED_LANE_MULTIPLE = 128
+PACKED_MIN_SCORE_ELEMS = 100 * 100
+
 # Minimum sequence length for 'auto' to pick the fused Pallas audio
 # projection / mask decoder kernels.  Provenance: v5e sweep — scaled-config
 # step 70.4 -> 68.3 ms with the fused VMEM passes at T=501; at demo T=63
@@ -116,18 +131,24 @@ def mesh_axis_size(mesh, *names: str) -> int:
     return n
 
 
-def resolve_attention(impl: str, tq: int, tk: int) -> str:
+def resolve_attention(impl: str, tq: int, tk: int,
+                      d_head: Optional[int] = None) -> str:
     """Trace-time resolution of the attention impl selector.
 
-    'auto' -> 'pallas' when lowering for TPU and the score matrix has at
-    least AUTO_MIN_SCORE_ELEMS elements; 'xla' otherwise.  Explicit
-    selectors pass through unchanged.  (Sharded-mesh routing happens in
+    'auto' -> 'pallas' when lowering for TPU and EITHER the score matrix
+    has at least AUTO_MIN_SCORE_ELEMS elements, OR the head dim is a full
+    lane multiple (the packed-layout path wins at any T then — see
+    PACKED_LANE_MULTIPLE provenance); 'xla' otherwise.  Explicit selectors
+    pass through unchanged.  (Sharded-mesh routing happens in
     `ops.attention.multi_head_attention`, which consults `active_mesh()`.)
     """
     if impl != "auto":
         return impl
     if resolved_platform() != "tpu":
         return "xla"
+    if d_head is not None and d_head % PACKED_LANE_MULTIPLE == 0 \
+            and tq * tk >= PACKED_MIN_SCORE_ELEMS:
+        return "pallas"
     return "pallas" if tq * tk >= AUTO_MIN_SCORE_ELEMS else "xla"
 
 

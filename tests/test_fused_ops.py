@@ -110,6 +110,27 @@ class TestPackedLayoutFlash:
                                    atol=2e-5, rtol=1e-4)
 
 
+class TestPackedLaneAutoPolicy:
+    def test_lane_multiple_head_dim_picks_pallas_below_crossover(self):
+        from av_separation_tpu.ops import policy
+        from av_separation_tpu.ops.attention import resolve_attn_impl
+        with policy.target_platform("tpu"):
+            # scaled visual self-attention: T=100, dh=128 — packed wins
+            assert resolve_attn_impl("auto", 100, 100, d_head=128) \
+                == "pallas"
+            # scaled fusion cross-attention: (501, 100), dh=128
+            assert resolve_attn_impl("auto", 501, 100, d_head=128) \
+                == "pallas"
+            # three_speaker audio self-attention: T=63 — measured xla win
+            assert resolve_attn_impl("auto", 63, 63, d_head=128) == "xla"
+            # demo shape: dh=32 — no packed path, below crossover
+            assert resolve_attn_impl("auto", 100, 100, d_head=32) == "xla"
+            # no d_head info: legacy crossover behavior
+            assert resolve_attn_impl("auto", 100, 100) == "xla"
+        # CPU: always xla
+        assert resolve_attn_impl("auto", 100, 100, d_head=128) == "xla"
+
+
 class TestFusedActivationDropout:
     def test_relu_dropout_matches_unfused(self):
         from av_separation_tpu.ops.activations import relu_dropout
