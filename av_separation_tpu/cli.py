@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 
@@ -507,9 +508,16 @@ def cmd_serve(args) -> int:
         sep = Separator(cfg.model, dict(variables), cfg.data)
         print("serve: no --checkpoint-dir, serving untrained init",
               file=sys.stderr)
+    warmup = tuple(int(b) for b in args.serve_warmup.split(",") if b) \
+        if args.serve_warmup else ()
     serve_forever(sep, host=args.serve_host, port=args.serve_port,
                   max_batch=args.serve_max_batch,
-                  max_delay_ms=args.serve_max_delay_ms)
+                  max_delay_ms=args.serve_max_delay_ms,
+                  auth_token=args.serve_auth_token
+                  or os.environ.get("AVSEP_AUTH_TOKEN"),
+                  max_request_bytes=args.serve_max_request_mb * 1024 * 1024,
+                  certfile=args.serve_certfile, keyfile=args.serve_keyfile,
+                  warmup_batches=warmup)
     return 0
 
 
@@ -551,6 +559,19 @@ def main(argv=None) -> int:
             p.add_argument("--serve-port", type=int, default=8571)
             p.add_argument("--serve-max-batch", type=int, default=32)
             p.add_argument("--serve-max-delay-ms", type=float, default=5.0)
+            p.add_argument("--serve-auth-token", default=None,
+                           help="bearer token required on every endpoint "
+                                "except /healthz (or env AVSEP_AUTH_TOKEN)")
+            p.add_argument("--serve-max-request-mb", type=int, default=64,
+                           help="reject request bodies above this size "
+                                "(413) before reading them")
+            p.add_argument("--serve-certfile", default=None,
+                           help="PEM certificate: serve TLS")
+            p.add_argument("--serve-keyfile", default=None)
+            p.add_argument("--serve-warmup", default="",
+                           help="comma-separated batch sizes to pre-compile "
+                                "(both APIs) before accepting traffic, "
+                                "e.g. '1,8,32'")
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)

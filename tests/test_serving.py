@@ -121,6 +121,66 @@ class TestBatchingServer:
             server.close()
 
 
+class TestWaveformBatching:
+    def test_waveform_requests_coalesce_and_match_direct(self, separator):
+        server = BatchingSeparatorServer(separator, max_batch=8,
+                                         max_delay_ms=200.0)
+        try:
+            n = 4
+            rng = np.random.default_rng(7)
+            audios = [rng.normal(size=DCFG.num_samples_audio)
+                      .astype(np.float32) for _ in range(n)]
+            lips = [rng.uniform(size=(10, 16, 16)).astype(np.float32)
+                    for _ in range(n)]
+            direct = separator.separate_waveform(
+                np.stack(audios), np.stack(lips))
+            results = [None] * n
+
+            def worker(i):
+                results[i] = server.separate_waveform(audios[i], lips[i])
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(n)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=60)
+            for i in range(n):
+                waves, masks = results[i]
+                np.testing.assert_allclose(waves, direct["waveforms"][i],
+                                           atol=1e-5)
+                np.testing.assert_allclose(masks, direct["masks"][i],
+                                           atol=1e-5)
+            assert server.stats.max_batch_seen >= 2
+        finally:
+            server.close()
+
+    def test_rank_errors_rejected_at_submit(self, separator):
+        server = BatchingSeparatorServer(separator)
+        try:
+            with pytest.raises(ValueError, match="mixed_spec"):
+                server.submit(np.zeros((2, 65, 10), np.float32),
+                              np.zeros((10, 16, 16), np.float32))
+            with pytest.raises(ValueError, match="mixed_audio"):
+                server.submit_waveform(
+                    np.zeros((2, DCFG.num_samples_audio), np.float32),
+                    np.zeros((10, 16, 16), np.float32))
+        finally:
+            server.close()
+
+    def test_warmup_compiles_native_shapes(self, separator):
+        server = BatchingSeparatorServer(separator, max_batch=8)
+        try:
+            n = server.warmup(batch_sizes=(1, 2), wave=True)
+            assert n == 4  # 2 buckets x (spec + wave)
+            keys = set(separator.compile_cache_info)
+            assert ("spec", 1, 65, DCFG.num_stft_frames,
+                    DCFG.total_lip_frames, 16, 16) in keys
+            assert any(k[0] == "wave" and k[1] == 2 for k in keys)
+        finally:
+            server.close()
+
+
 class TestHttpFrontend:
     def test_post_separate_and_stats(self, separator):
         batcher = BatchingSeparatorServer(separator, max_batch=4,
@@ -148,6 +208,79 @@ class TestHttpFrontend:
                     f"http://127.0.0.1:{port}/stats", timeout=10) as resp:
                 stats = json.loads(resp.read())
             assert stats["requests"] >= 1
+        finally:
+            httpd.shutdown()
+            batcher.close()
+
+    def test_post_separate_waveform(self, separator):
+        batcher = BatchingSeparatorServer(separator, max_batch=4,
+                                          max_delay_ms=5.0)
+        httpd = make_http_server(batcher, host="127.0.0.1", port=0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            rng = np.random.default_rng(11)
+            audio = rng.normal(size=DCFG.num_samples_audio) \
+                .astype(np.float32)
+            lips = rng.uniform(size=(10, 16, 16)).astype(np.float32)
+            buf = io.BytesIO()
+            np.savez(buf, mixed_audio=audio, lip_frames=lips)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/separate_waveform",
+                data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                assert resp.status == 200
+                with np.load(io.BytesIO(resp.read())) as z:
+                    waves = z["waveforms"]
+            direct = separator.separate_waveform(audio[None], lips[None])
+            np.testing.assert_allclose(waves, direct["waveforms"][0],
+                                       atol=1e-5)
+        finally:
+            httpd.shutdown()
+            batcher.close()
+
+    def test_auth_and_size_limits(self, separator):
+        import urllib.error
+        batcher = BatchingSeparatorServer(separator, max_batch=4,
+                                          max_delay_ms=5.0)
+        httpd = make_http_server(batcher, host="127.0.0.1", port=0,
+                                 auth_token="sekrit",
+                                 max_request_bytes=1024)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            # /healthz is never gated
+            with urllib.request.urlopen(f"{base}/healthz",
+                                        timeout=10) as resp:
+                assert resp.status == 200
+            # stats without token -> 401
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(f"{base}/stats", timeout=10)
+            assert ei.value.code == 401
+            # wrong token -> 401
+            req = urllib.request.Request(
+                f"{base}/stats",
+                headers={"Authorization": "Bearer nope"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=10)
+            assert ei.value.code == 401
+            # right token -> 200
+            req = urllib.request.Request(
+                f"{base}/stats",
+                headers={"Authorization": "Bearer sekrit"})
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                assert resp.status == 200
+            # oversized body -> 413 before any parsing
+            big = b"x" * 4096
+            req = urllib.request.Request(
+                f"{base}/separate", data=big, method="POST",
+                headers={"Authorization": "Bearer sekrit"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=10)
+            assert ei.value.code == 413
         finally:
             httpd.shutdown()
             batcher.close()
