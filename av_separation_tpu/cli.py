@@ -517,7 +517,8 @@ def cmd_serve(args) -> int:
                   or os.environ.get("AVSEP_AUTH_TOKEN"),
                   max_request_bytes=args.serve_max_request_mb * 1024 * 1024,
                   certfile=args.serve_certfile, keyfile=args.serve_keyfile,
-                  warmup_batches=warmup)
+                  warmup_batches=warmup,
+                  max_pending=args.serve_max_pending)
     return 0
 
 
@@ -568,6 +569,9 @@ def main(argv=None) -> int:
             p.add_argument("--serve-certfile", default=None,
                            help="PEM certificate: serve TLS")
             p.add_argument("--serve-keyfile", default=None)
+            p.add_argument("--serve-max-pending", type=int, default=1024,
+                           help="pending-request queue depth; beyond it "
+                                "requests are shed with 503 + Retry-After")
             p.add_argument("--serve-warmup", default="",
                            help="comma-separated batch sizes to pre-compile "
                                 "(both APIs) before accepting traffic, "

@@ -56,6 +56,7 @@ class ServerStats:
     requests: int = 0
     batches: int = 0
     errors: int = 0
+    shed: int = 0
     max_batch_seen: int = 0
     total_batched: int = 0
     latency_ms: List[float] = field(default_factory=list)
@@ -69,12 +70,18 @@ class ServerStats:
             "requests": self.requests,
             "batches": self.batches,
             "errors": self.errors,
+            "shed": self.shed,
             "mean_batch": round(self.total_batched
                                 / max(1, self.batches), 2),
             "max_batch": self.max_batch_seen,
             "latency_ms_p50": pct(0.50),
             "latency_ms_p95": pct(0.95),
         }
+
+
+class ServerOverloaded(RuntimeError):
+    """Raised at submit when the pending queue is full (load shedding);
+    the HTTP layer maps it to 503 so clients back off and retry."""
 
 
 class _Request:
@@ -112,12 +119,15 @@ class BatchingSeparatorServer:
     """
 
     def __init__(self, separator: Separator, max_batch: int = 32,
-                 max_delay_ms: float = 5.0):
+                 max_delay_ms: float = 5.0, max_pending: int = 1024):
         self.separator = separator
         self.max_batch = int(max_batch)
         self.max_delay = max_delay_ms / 1e3
         self.stats = ServerStats()
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # Bounded queue = explicit load shedding: when the device cannot
+        # keep up, enqueue raises (503 at the HTTP layer) instead of
+        # buffering requests without limit and timing every client out.
+        self._queue: "queue.Queue[_Request]" = queue.Queue(int(max_pending))
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="avsep-batcher")
@@ -137,9 +147,7 @@ class BatchingSeparatorServer:
             raise ValueError(
                 f"expected mixed_spec (F, T) and lip_frames (N, H, W); got "
                 f"{mixed_spec.shape} and {lip_frames.shape}")
-        req = _Request("spec", mixed_spec, lip_frames)
-        self._queue.put(req)
-        return req
+        return self._enqueue(_Request("spec", mixed_spec, lip_frames))
 
     def submit_waveform(self, mixed_audio: np.ndarray,
                         lip_frames: np.ndarray) -> _Request:
@@ -156,8 +164,16 @@ class BatchingSeparatorServer:
             raise ValueError(
                 f"expected mixed_audio (N_audio,) and lip_frames (N, H, W); "
                 f"got {mixed_audio.shape} and {lip_frames.shape}")
-        req = _Request("wave", mixed_audio, lip_frames)
-        self._queue.put(req)
+        return self._enqueue(_Request("wave", mixed_audio, lip_frames))
+
+    def _enqueue(self, req: _Request) -> _Request:
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            self.stats.shed += 1
+            raise ServerOverloaded(
+                f"pending queue full ({self._queue.maxsize} requests); "
+                f"retry later") from None
         return req
 
     def separate(self, mixed_spec: np.ndarray, lip_frames: np.ndarray,
@@ -233,7 +249,12 @@ class BatchingSeparatorServer:
             else:
                 leftovers.append(nxt)
         for r in leftovers:  # different shape: requeue for the next batch
-            self._queue.put(r)
+            try:
+                self._queue.put_nowait(r)
+            except queue.Full:  # shed rather than deadlock the scheduler
+                self.stats.shed += 1
+                r.resolve(False, ServerOverloaded(
+                    "pending queue full while regrouping; retry later"))
         return reqs
 
     def _loop(self):
@@ -380,6 +401,14 @@ def make_http_server(server: BatchingSeparatorServer, host: str = "0.0.0.0",
                     buf = io.BytesIO()
                     np.savez(buf, waveforms=waves, masks=masks)
                 self._send(200, buf.getvalue(), "application/npz")
+            except ServerOverloaded as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             except Exception as e:  # noqa: BLE001 — HTTP error, keep serving
                 self._send_err(400, str(e))
 
@@ -399,10 +428,12 @@ def serve_forever(separator: Separator, host: str = "0.0.0.0",
                   max_request_bytes: int = 64 * 1024 * 1024,
                   certfile: Optional[str] = None,
                   keyfile: Optional[str] = None,
-                  warmup_batches: Tuple[int, ...] = ()):
+                  warmup_batches: Tuple[int, ...] = (),
+                  max_pending: int = 1024):
     """Blocking entry used by `avsep serve`."""
     batcher = BatchingSeparatorServer(separator, max_batch=max_batch,
-                                      max_delay_ms=max_delay_ms)
+                                      max_delay_ms=max_delay_ms,
+                                      max_pending=max_pending)
     if warmup_batches:
         t0 = time.perf_counter()
         n = batcher.warmup(warmup_batches,

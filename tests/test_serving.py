@@ -168,6 +168,40 @@ class TestWaveformBatching:
         finally:
             server.close()
 
+    def test_overload_sheds_with_503_semantics(self, separator):
+        import time as _time
+
+        from av_separation_tpu.serving import ServerOverloaded
+
+        class SlowSeparator:
+            """Delegating proxy whose forward stalls, so the pending queue
+            fills deterministically while batch 1 is in flight."""
+
+            def __init__(self, inner):
+                self._inner = inner
+                self.data_cfg = inner.data_cfg
+
+            def separate(self, mixed, lips):
+                _time.sleep(0.5)
+                return self._inner.separate(mixed, lips)
+
+        server = BatchingSeparatorServer(SlowSeparator(separator),
+                                         max_batch=1, max_delay_ms=1.0,
+                                         max_pending=2)
+        try:
+            m, l = _req(0)
+            handles = [server.submit(m, l)]  # batch 1: occupies the device
+            _time.sleep(0.1)
+            handles += [server.submit(m, l), server.submit(m, l)]  # fills q
+            with pytest.raises(ServerOverloaded):
+                server.submit(m, l)
+            assert server.stats.shed >= 1
+            for h in handles:  # accepted requests still complete
+                sep, _ = h.result(timeout=60)
+                assert sep.shape == (2, 65, DCFG.num_stft_frames)
+        finally:
+            server.close()
+
     def test_warmup_compiles_native_shapes(self, separator):
         server = BatchingSeparatorServer(separator, max_batch=8)
         try:
