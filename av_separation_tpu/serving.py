@@ -43,6 +43,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -59,10 +60,13 @@ class ServerStats:
     shed: int = 0
     max_batch_seen: int = 0
     total_batched: int = 0
-    latency_ms: List[float] = field(default_factory=list)
+    # Bounded: a long-running server must not grow host memory with its
+    # request count; percentiles are over the most recent window anyway.
+    latency_ms: "deque[float]" = field(
+        default_factory=lambda: deque(maxlen=4096))
 
     def snapshot(self) -> Dict[str, Any]:
-        lat = sorted(self.latency_ms[-1000:])
+        lat = sorted(list(self.latency_ms)[-1000:])
         pct = (lambda p: round(lat[min(len(lat) - 1,
                                        int(p * len(lat)))], 2)) \
             if lat else (lambda p: None)
